@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: rays/sec/chip on the flagship workload.
+
+Workload (FLOP-equivalent to the reference synthetic config,
+reference: configs/train/synthetic.yaml): NGP field (16-level HashGrid,
+2^19 table, 1x64 base + 2x64 head MLPs, SH degree 4), pixel-bandwidth blur
+model with S=30 intensity samples, occupancy-gated marching (128^3 grid),
+4 renders per optimizer step. The reference has no published in-repo
+throughput numbers (BASELINE.md), so vs_baseline is null until a measured
+reference number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# workload knobs (fixed across rounds for comparability)
+IMG_SIZE = 64
+NUM_EVENTS = 200_000
+BATCH_CAPACITY = 2048
+SAMPLE_BUDGET = 1 << 20     # flat ray-march sample buffer per render
+MARCH_CHUNK = 2048
+WARMUP_STEPS = 2
+TIMED_STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deblur_e_nerf_tpu.data import events as events_data
+    from deblur_e_nerf_tpu.data import synthetic
+    from deblur_e_nerf_tpu.models import nerf_model
+    from deblur_e_nerf_tpu.training import (optim, pipeline, setup,
+                                            step as step_lib)
+    from deblur_e_nerf_tpu.utils.config import load_config
+
+    root = os.path.join("/tmp", "denerf_bench_ds")
+    if not os.path.exists(os.path.join(root, "raw_events.npz")):
+        os.makedirs(root, exist_ok=True)
+        synthetic.make_dataset(
+            root, img_height=IMG_SIZE, img_width=IMG_SIZE,
+            num_events=NUM_EVENTS, num_poses=41,
+        )
+
+    config = load_config(os.path.join(_REPO, "configs/train/synthetic.yaml"))
+    config.data.dataset_directory = root
+    config.model.nerf.aabb = [-4.0, -4.0, -4.0, 4.0, 4.0, 4.0]
+    config.model.nerf.near_plane = 0.1
+    config.model.nerf.far_plane = 8.0
+
+    bundle, params = setup.build(
+        config, root, sample_budget=SAMPLE_BUDGET,
+        batch_capacity=BATCH_CAPACITY, march_chunk=MARCH_CHUNK,
+    )
+    sc = bundle.static_config
+    tx, _ = optim.build(
+        params, config.optimizer, config.lr_scheduler,
+        float(config.loss.weight.nerf_mlp_weight_decay),
+        float(bundle.consts["refractory_period"]
+              ["max_refractory_period"]),
+        steps_per_epoch=1000,
+        model_configs={
+            c: config.model[c]
+            for c in ("contrast_threshold", "refractory_period",
+                      "pixel_bandwidth", "nerf")
+        },
+    )
+
+    occ_state = nerf_model.init_occupancy(bundle.model)
+    occ_state = nerf_model.update_occupancy(
+        bundle.model, params["nerf"], occ_state, jax.random.PRNGKey(0),
+        bundle.consts["trajectory"].T_wc_position,
+        jnp.asarray(0, jnp.int32),
+    )
+    state = step_lib.TrainState(
+        params=params, opt_state=tx.init(params), occ_state=occ_state,
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step_fn = jax.jit(step_lib.make_train_step(
+        bundle.model, bundle.consts, tx, sc, bundle.loss_config,
+    ))
+
+    events = events_data.EventDataset(root).events
+    batcher = pipeline.EventBatcher(events, capacity=BATCH_CAPACITY, seed=0)
+    controller = pipeline.BatchSizeController(
+        target_ray_samples=SAMPLE_BUDGET // max(sc.it_sample_size, 1),
+        init_batch_size=BATCH_CAPACITY // 4,
+        capacity=BATCH_CAPACITY,
+    )
+
+    def run_step(i, active):
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batcher.next_batch(active).items()
+        }
+        nonlocal state
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(metrics["loss"])
+        return metrics
+
+    for i in range(WARMUP_STEPS):
+        m = run_step(i, controller.active)
+        controller.update(float(m["mean_num_samples_per_ray"]))
+
+    total_rays = 0
+    t0 = time.time()
+    for i in range(TIMED_STEPS):
+        active = controller.active
+        m = run_step(WARMUP_STEPS + i, active)
+        controller.update(float(m["mean_num_samples_per_ray"]))
+        # 4 renders x S intensity samples x active events
+        total_rays += 4 * max(sc.it_sample_size, 1) * active
+    elapsed = time.time() - t0
+
+    assert np.isfinite(float(m["loss"]))
+    rays_per_sec = total_rays / elapsed
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

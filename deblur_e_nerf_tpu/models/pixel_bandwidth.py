@@ -1,0 +1,322 @@
+"""Pixel-bandwidth (motion-blur) model: 4th-order NLTI low-pass filter.
+
+Functional JAX redesign of the paper's deblurring contribution
+(reference: deblur_e_nerf/models/pixel_bandwidth.py:7-494): a cascade of a
+2nd-order non-linear photoreceptor LPF, a 1st-order source-follower LPF and
+a 1st-order differencing-amplifier LPF, linearized at per-sample steady
+states, FOH-discretized, and collapsed into per-sample output weights.
+
+TPU-first translation decisions:
+  - The reference's Python loop over S for the weight recursion
+    (reference: pixel_bandwidth.py:283-294) becomes a reversed `lax.scan`
+    over batched (N, o, 4) x (N, 4, 4) products.
+  - The stateful differencing-amplifier reset
+    (`self.reset_delta_log_it` / `self.reset_ts` module attributes,
+    reference: pixel_bandwidth.py:419-423) is threaded explicitly as a
+    `ResetState` value: the `reset_diff=True` render within a training step
+    produces the state, the other renders of the same step consume it.
+  - Timestamp math stays float64 (ns); all state-space math is float32 —
+    the reference likewise runs FOH in the default torch dtype.
+
+Six learnable softplus-positive parameters: tau_mil_it_eff_prod, A_amp_inv,
+A_loop_inv, tau_out, tau_sf, tau_diff; `tau_in_it_eff_prod` is a constant
+(reference: pixel_bandwidth.py:119-153) — tau_in = tau_in_it_eff_prod / it,
+making the NeRF intensity scale observable through the filter dynamics.
+"""
+
+import math
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import activations, control
+
+TAU_IN_IT_EFF_PROD_KEY = "input_time_const_eff_it_prod"
+TAU_MIL_IT_EFF_PROD_KEY = "miller_time_const_eff_it_prod"
+A_AMP_KEY = "amplifier_gain"
+A_CL_KEY = "closed_loop_gain"
+TAU_OUT_KEY = "output_time_const"
+F_C_SF_KEY = "sf_cutoff_freq"
+F_C_DIFF_KEY = "diff_amp_cutoff_freq"
+NS_TO_S = 1e-9
+
+
+class ResetState(NamedTuple):
+    """Differencing-amp reset state, produced by the reset_diff render."""
+    reset_delta_log_it: jnp.ndarray  # (N,) float32
+    reset_ts: jnp.ndarray            # (N,) float64 ns
+
+
+def init_pixel_bandwidth(camera_calibration, min_ts, f_c_dominant_min,
+                         target_cumprob_max_sample_lifetime):
+    """Build {params, consts} from calibrated pixel-circuit constants."""
+    tau_in_prod = float(camera_calibration[TAU_IN_IT_EFF_PROD_KEY])
+    tau_mil_prod = float(camera_calibration[TAU_MIL_IT_EFF_PROD_KEY])
+    A_amp = float(camera_calibration[A_AMP_KEY])
+    A_cl = float(camera_calibration[A_CL_KEY])
+    tau_out = float(camera_calibration[TAU_OUT_KEY])
+    f_c_sf = float(camera_calibration[F_C_SF_KEY])
+    f_c_diff = float(camera_calibration[F_C_DIFF_KEY])
+
+    def raw(v):
+        return activations.softplus_inverse(jnp.asarray(v, jnp.float32))
+
+    params = {
+        "tau_mil_it_eff_prod_raw": raw(tau_mil_prod),
+        "A_amp_inv_raw": raw(1.0 / A_amp),
+        "A_loop_inv_raw": raw(A_cl / A_amp),
+        "tau_out_raw": raw(tau_out),
+        "tau_sf_raw": raw(1.0 / (2 * math.pi * f_c_sf)),
+        "tau_diff_raw": raw(1.0 / (2 * math.pi * f_c_diff)),
+    }
+    consts = {
+        "tau_in_it_eff_prod": jnp.asarray(tau_in_prod, jnp.float32),
+        "min_ts": jnp.asarray(min_ts, jnp.float64),
+        "omega_c_dominant_min": jnp.asarray(
+            2 * math.pi * f_c_dominant_min, jnp.float64
+        ),  # rad/s
+        "target_cumprob_max_sample_lifetime": jnp.asarray(
+            target_cumprob_max_sample_lifetime, jnp.float64
+        ),
+    }
+    return params, consts
+
+
+def effective_params(params):
+    """Softplus-positive reads of the six learnable parameters."""
+    sp = activations.softplus
+    return {
+        "tau_mil_it_eff_prod": sp(params["tau_mil_it_eff_prod_raw"]),
+        "A_amp_inv": sp(params["A_amp_inv_raw"]),
+        "A_loop_inv": sp(params["A_loop_inv_raw"]),
+        "tau_out": sp(params["tau_out_raw"]),
+        "tau_sf": sp(params["tau_sf_raw"]),
+        "tau_diff": sp(params["tau_diff_raw"]),
+    }
+
+
+def linearized_sys_params(params, consts, steady_state_intensity):
+    """Linearized 2nd-order sub-system params at given steady states
+    (reference: pixel_bandwidth.py:181-194)."""
+    eff = effective_params(params)
+    tau_in = consts["tau_in_it_eff_prod"] / steady_state_intensity
+    tau_mil = eff["tau_mil_it_eff_prod"] / steady_state_intensity
+    A_amp = 1.0 / eff["A_amp_inv"]
+    A_loop = 1.0 / eff["A_loop_inv"]
+    denom = (tau_in + tau_mil) * eff["tau_out"]
+    two_zeta_omega_n = (
+        tau_in + eff["tau_out"] + (A_amp + 1) * tau_mil
+    ) / denom
+    omega_n_square = (A_loop + 1) / denom
+    omega_c_sf = 1.0 / eff["tau_sf"]
+    omega_c_diff = 1.0 / eff["tau_diff"]
+    return two_zeta_omega_n, omega_n_square, omega_c_sf, omega_c_diff
+
+
+def linearize_sys(params, consts, steady_state_intensity,
+                  output_sf_log_it=False):
+    """Build the batched linearized 4x4 state space
+    (reference: pixel_bandwidth.py:196-228)."""
+    two_zeta_omega_n, omega_n_square, omega_c_sf, omega_c_diff = (
+        linearized_sys_params(params, consts, steady_state_intensity)
+    )
+    shape = steady_state_intensity.shape
+    dtype = steady_state_intensity.dtype
+    zeros = jnp.zeros(shape, dtype)
+    ones = jnp.ones(shape, dtype)
+
+    def bc(v):
+        return jnp.broadcast_to(jnp.asarray(v, dtype), shape)
+
+    A = jnp.stack([
+        jnp.stack([-two_zeta_omega_n, -omega_n_square, zeros, zeros], -1),
+        jnp.stack([ones, zeros, zeros, zeros], -1),
+        jnp.stack([zeros, bc(omega_c_sf), -bc(omega_c_sf), zeros], -1),
+        jnp.stack([zeros, zeros, bc(omega_c_diff), -bc(omega_c_diff)], -1),
+    ], axis=-2)
+    B = jnp.stack(
+        [omega_n_square, zeros, zeros, zeros], axis=-1
+    )[..., None]
+    if output_sf_log_it:
+        C = jnp.asarray([[0, 0, 1, 0], [0, 0, 0, 1]], dtype)
+    else:
+        C = jnp.asarray([[0, 0, 0, 1]], dtype)
+    C = jnp.broadcast_to(C, (*shape, *C.shape))
+    D = jnp.zeros((*shape, C.shape[-2], 1), dtype)
+    return control.StateSpace(A=A, B=B, C=C, D=D)
+
+
+def linearized_sys_omega_c_dominant(params, consts,
+                                    steady_state_intensity,
+                                    reset_diff=False):
+    """Approximate dominant cutoff angular frequency
+    (reference: pixel_bandwidth.py:230-258)."""
+    two_zeta_omega_n, omega_n_square, omega_c_sf, omega_c_diff = (
+        linearized_sys_params(params, consts, steady_state_intensity)
+    )
+    zeta_omega_n = two_zeta_omega_n / 2
+    disc = jnp.square(zeta_omega_n) - omega_n_square
+    j_omega_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    omega_n = jnp.sqrt(omega_n_square)
+    omega_c_nlti = jnp.where(
+        zeta_omega_n >= omega_n, zeta_omega_n - j_omega_d, omega_n
+    )
+    omega_c = jnp.minimum(omega_c_nlti, omega_c_sf)
+    if not reset_diff:
+        omega_c = jnp.minimum(omega_c, omega_c_diff)
+    return omega_c
+
+
+def discretized_sys_to_weight(sysd):
+    """Collapse the LTV discrete system into per-sample output weights.
+
+    y[S-1] = sum_i w[i] u[i] with
+      w[0]   = C phi(1, S-1) B[0]
+      w[i]   = C phi(i+1, S-1) B[i] + C phi(i, S-1) Bt[i-1]
+      w[S-1] = C Bt[S-2] + D
+    computed with a reversed lax.scan carrying C phi(i+1, S-1)
+    (reference: pixel_bandwidth.py:260-296 uses a Python loop).
+    """
+    A = sysd.A          # (S-1, ..., n, n)
+    B = sysd.B          # (S-1, ..., n, m)
+    Bt = sysd.B_tilde   # (S-1, ..., n, m)
+    C = sysd.C[0]       # (..., o, n)
+    D = sysd.D[0]       # (..., o, m)
+    S = A.shape[0] + 1
+
+    w_last = C @ Bt[S - 2] + D  # (..., o, m)
+
+    def body(c_phi, inputs):
+        # c_phi = C phi(i+1, S-1); inputs at index i in [S-2, ..., 1]
+        A_i, B_i, Bt_im1 = inputs
+        c_phi_i = c_phi @ A_i  # C phi(i, S-1)
+        w_i = c_phi @ B_i + c_phi_i @ Bt_im1
+        return c_phi_i, w_i
+
+    if S > 2:
+        xs = (A[1:S - 1], B[1:S - 1], Bt[0:S - 2])
+        c_phi_1, w_mid = jax.lax.scan(body, C, xs, reverse=True)
+    else:
+        c_phi_1, w_mid = C, jnp.zeros((0, *w_last.shape), w_last.dtype)
+    w_first = c_phi_1 @ B[0]
+    weight = jnp.concatenate(
+        [w_first[None], w_mid, w_last[None]], axis=0
+    )  # (S, ..., o, m)
+    return weight
+
+
+def sample_lifetimes(params, consts, normalized_interval_gen, output_ts):
+    """Importance-sample input timestamps backwards from the output ts via
+    the exponential-distribution inverse-CDF over sample lifetimes
+    (reference: pixel_bandwidth.py:298-367). No gradients flow through the
+    lifetimes (stop_gradient), matching the reference's no_grad block."""
+    S = normalized_interval_gen.shape[0] + 1
+    batch_shape = normalized_interval_gen.shape[1:]
+
+    boundary = jnp.linspace(1.0, 0.0, S, dtype=jnp.float64)
+    boundary = boundary.reshape(-1, *([1] * len(batch_shape)))
+    gen = normalized_interval_gen.astype(jnp.float64)
+    interval = boundary[:-1] + gen * (boundary[1:] - boundary[:-1])
+
+    mid = 0.5 * (interval[:-1] + interval[1:])  # (S-2, ...)
+    ones = jnp.ones_like(interval[:1])
+    zeros = jnp.zeros_like(ones)
+    normalized_lifetime = jnp.concatenate([ones, mid, zeros], axis=0)
+
+    rate = NS_TO_S * consts["omega_c_dominant_min"]  # rad/ns
+    p = consts["target_cumprob_max_sample_lifetime"] \
+        * normalized_lifetime
+    lifetime = -jnp.log1p(-p) / rate  # exponential ICDF, in ns
+    lifetime = jax.lax.stop_gradient(lifetime)
+
+    sample_ts = output_ts.astype(jnp.float64) - lifetime  # (S, ...)
+    return sample_ts
+
+
+def intensity_sample_to_weight(params, consts, intensity_sample,
+                               sample_dt, output_sf_log_it=False):
+    """Linearize + FOH-discretize + collapse to weights
+    (reference: pixel_bandwidth.py:369-396). sample_dt in ns, float32."""
+    lin_sys = linearize_sys(
+        params, consts, intensity_sample[1:], output_sf_log_it
+    )
+    sysd = control.foh_cont2discrete(
+        lin_sys, NS_TO_S * sample_dt, is_state_preserved=True,
+        is_efficient=True,
+    )
+    weight = discretized_sys_to_weight(sysd)  # (S, ..., o, 1)
+    return weight[..., 0]  # (S, ..., o)
+
+
+def weighted_samples_to_output_log_it(params, weight, intensity_sample,
+                                      last_sample_ts, reset_state,
+                                      reset_diff=False):
+    """Weight-normalized log-intensity synthesis + differencing-amp reset
+    (reference: pixel_bandwidth.py:398-448). Returns
+    (output_log_intensity, new_reset_state)."""
+    normalized_weight = weight / jnp.sum(weight, axis=0, keepdims=True)
+    log_it = jnp.log(intensity_sample)[..., None]  # (S, ..., 1)
+    out = jnp.sum(normalized_weight * log_it, axis=0)  # (..., o)
+
+    eff = effective_params(params)
+    omega_c_diff = 1.0 / eff["tau_diff"]
+
+    if reset_diff:
+        sf_log_it = out[..., 0]
+        diff_log_it_bfr_reset = out[..., 1]
+        new_state = ResetState(
+            reset_delta_log_it=diff_log_it_bfr_reset - sf_log_it,
+            reset_ts=last_sample_ts.astype(jnp.float64),
+        )
+        # resetting pins the diff-amp output to its input (sf output)
+        return sf_log_it, new_state
+
+    diff_log_it_bfr_reset = out[..., 0]
+    reset_dt = (
+        last_sample_ts.astype(jnp.float64) - reset_state.reset_ts
+    ).astype(out.dtype)
+    decayed = reset_state.reset_delta_log_it * jnp.exp(
+        -omega_c_diff * (NS_TO_S * reset_dt)
+    )
+    return diff_log_it_bfr_reset - decayed, reset_state
+
+
+def forward(params, consts, normalized_interval_gen, output_ts,
+            intensity_sampling_fn, reset_state=None, reset_diff=False):
+    """Full pixel-bandwidth forward pass
+    (reference: pixel_bandwidth.py:450-494).
+
+    Args:
+        normalized_interval_gen: (S-1, ...) in [0, 1].
+        output_ts: (...) int64/float64 ns.
+        intensity_sampling_fn: (S, ...) ns timestamps -> tuple whose first
+            element is the sampled intensity (S, ...); the rest are
+            auxiliary outputs passed through.
+        reset_state: ResetState from the reset_diff render of this step
+            (required when reset_diff=False).
+        reset_diff: produce (and return) a fresh ResetState.
+    Returns:
+        (output_log_intensity (...), aux_outputs, reset_state)
+    """
+    sample_ts = sample_lifetimes(
+        params, consts, normalized_interval_gen, output_ts
+    )
+    sampling_output = intensity_sampling_fn(
+        jnp.maximum(sample_ts, consts["min_ts"])
+    )
+    intensity_sample = sampling_output[0]
+    aux = sampling_output[1:]
+
+    sample_dt = jnp.diff(sample_ts, axis=0).astype(
+        intensity_sample.dtype
+    )
+    weight = intensity_sample_to_weight(
+        params, consts, intensity_sample, sample_dt,
+        output_sf_log_it=reset_diff,
+    )
+    out_log_it, new_reset_state = weighted_samples_to_output_log_it(
+        params, weight, intensity_sample, output_ts, reset_state,
+        reset_diff,
+    )
+    return out_log_it, aux, new_reset_state

@@ -18,6 +18,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from . import linalg
+
 
 class StateSpace(NamedTuple):
     A: jnp.ndarray  # (..., n, n)
@@ -49,7 +51,7 @@ def foh_cont2discrete(system, dt, is_state_preserved=False,
 
     if is_efficient:
         a_dt = a * dt
-        phi = jax.scipy.linalg.expm(a_dt)
+        phi = linalg.expm(a_dt)
         a_inv_b = jnp.linalg.solve(a, b)
         eye = jnp.eye(n, dtype=a.dtype)
         gamma1 = (phi - eye) @ a_inv_b
@@ -64,7 +66,7 @@ def foh_cont2discrete(system, dt, is_state_preserved=False,
         em = em.at[..., n:n + m, n + m:].set(
             jnp.eye(m, dtype=a.dtype)
         )
-        ms = jax.scipy.linalg.expm(em)
+        ms = linalg.expm(em)
         phi = ms[..., :n, :n]
         gamma1 = ms[..., :n, n:n + m]
         gamma2 = ms[..., :n, n + m:]

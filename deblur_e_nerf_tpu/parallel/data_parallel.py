@@ -1,0 +1,76 @@
+"""Data-parallel training step: jit-partitioned over a device mesh.
+
+The reference's data parallelism is PyTorch DDP (per-process replicas,
+NCCL gradient allreduce, an explicit `all_gather` to agree on the dynamic
+batch size; reference: scripts/run.py:84-89, deblur_e_nerf.py:1269-1272).
+The TPU-native design is a single SPMD program: the event batch is sharded
+over the mesh's `data` axis, parameters/optimizer/occupancy state are
+replicated, and the partitioner inserts the gradient psum and the global
+reductions behind the loss/metric means. Batch-size agreement is exact by
+construction — every metric is already a global reduction.
+"""
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import jax
+
+from ..training import step as step_lib
+from .mesh import DATA_AXIS
+
+
+def batch_shardings(mesh, batch_like):
+    """Leading-axis `data` sharding for every leaf of an event batch."""
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: s for k in batch_like}
+
+
+def shard_batch(mesh, batch):
+    """Place a host batch onto the mesh, leading axis over `data`."""
+    return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def replicate(mesh, tree):
+    """Fully replicate a pytree over the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh):
+    """Data-parallel version of `training.step.make_train_step`.
+
+    Returns step_fn(state, batch, key) -> (state, metrics) compiled over
+    `mesh`: batch leaves sharded `P('data')` on their leading axis,
+    everything else replicated. The event-batch capacity must be divisible
+    by the mesh size.
+    """
+    step_fn = step_lib.make_train_step(model, consts, tx, sc, loss_config)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_sharded_occ_update(model, consts, mesh):
+    """Replicated occupancy-grid EMA update over the mesh.
+
+    The grid is small (resolution^3 <= 128^3) and its update is cheap
+    relative to a train step (reference: models/nerf.py:170-204 runs it
+    every n=16 opt steps), so it stays replicated rather than sharded.
+    """
+    from ..models import nerf_model
+
+    repl = NamedSharding(mesh, P())
+
+    def occ_update(params, occ_state, key, step):
+        return nerf_model.update_occupancy(
+            model, params, occ_state, key,
+            consts["trajectory"].T_wc_position, step,
+        )
+
+    return jax.jit(
+        occ_update,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=repl,
+    )

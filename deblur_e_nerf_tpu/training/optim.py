@@ -1,0 +1,181 @@
+"""Optimizer assembly: Adam with per-parameter-group learning rates,
+masked coupled weight decay, MultiStepLR, and freeze masks.
+
+TPU-native analog of the reference's `configure_optimizers`
+(reference: deblur_e_nerf/models/deblur_e_nerf.py:1055-1112):
+  - refractory period lr = max_refractory_period * relative_lr,
+  - NeRF MLP params get coupled (torch-style) weight decay,
+  - per-parameter lrs for contrast-threshold / pixel-bandwidth params,
+  - MultiStepLR epoch milestones as a piecewise-constant schedule,
+  - the reference's per-component/per-parameter `freeze:` config dicts
+    (reference: deblur_e_nerf.py:345-387) become zero-gradient masks.
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils import tree as tree_utils
+
+
+def _label_for_path(path, lr_config):
+    """Map a param path to its param-group label."""
+    if path.startswith("refractory_period/"):
+        return "refractory_period"
+    if path.startswith("contrast_threshold/"):
+        if "p2n_contrast_threshold_ratio" in path:
+            return "ct_p2n"
+        if "mean_contrast_threshold" in path:
+            return "ct_mean"
+        return "default"
+    if path.startswith("pixel_bandwidth/"):
+        for name in ("tau_mil_it_eff_prod", "A_amp_inv", "A_loop_inv",
+                     "tau_out", "tau_sf", "tau_diff"):
+            if name in path:
+                return f"pb_{name}"
+        return "default"
+    if path.startswith("nerf/field/mlp") or path.startswith("nerf/field/"
+                                                            "base") \
+            or "mlp_base" in path or "mlp_head" in path:
+        if "table" not in path:
+            return "nerf_mlp"
+    return "default"
+
+
+def _is_nerf_mlp(path):
+    return (("mlp_base" in path or "mlp_head" in path
+             or "sigma_layer" in path or "bottleneck_layer" in path
+             or "rgb_layer" in path or "/base/" in path)
+            and "table" not in path)
+
+
+def build_freeze_mask(params, model_configs):
+    """True = trainable. `model_configs` maps component name -> its config
+    (with `freeze` being a bool or a {param_name: bool, default: bool}
+    dict, reference YAML schema)."""
+
+    def trainable(path):
+        component = path.split("/")[0]
+        cfg = model_configs.get(component)
+        if cfg is None:
+            return True
+        freeze = cfg.get("freeze", False)
+        if isinstance(freeze, bool):
+            return not freeze
+        # per-parameter override dict
+        for param_name, freeze_param in freeze.items():
+            if param_name == "default":
+                continue
+            if param_name in path:
+                return not freeze_param
+        return not freeze.get("default", False)
+
+    return tree_utils.path_mask(params, trainable)
+
+
+def multi_step_schedule(base_lr, milestones_steps, gamma):
+    if not milestones_steps:
+        return base_lr
+    return optax.piecewise_constant_schedule(
+        init_value=base_lr,
+        boundaries_and_scales={int(s): gamma for s in milestones_steps},
+    )
+
+
+def build(params, optimizer_config, lr_scheduler_config,
+          nerf_mlp_weight_decay, max_refractory_period,
+          steps_per_epoch, model_configs):
+    """Build the optax GradientTransformation + freeze mask.
+
+    Args:
+        params: full train param tree (component-keyed).
+        optimizer_config: reference `optimizer:` config subtree.
+        lr_scheduler_config: reference `lr_scheduler:` subtree.
+        nerf_mlp_weight_decay: loss.weight.nerf_mlp_weight_decay.
+        max_refractory_period: float (ns).
+        steps_per_epoch: optimizer steps per epoch (for epoch milestones).
+        model_configs: {component: config} for freeze masks.
+    Returns:
+        (optax transformation, trainable_mask pytree)
+    """
+    assert optimizer_config.algo == "adam"
+    assert lr_scheduler_config.algo == "multi_step_lr"
+    if lr_scheduler_config.interval == "epoch":
+        milestone_scale = steps_per_epoch
+    else:
+        milestone_scale = 1
+    milestones = [
+        int(m) * milestone_scale
+        for m in lr_scheduler_config.multi_step_lr.milestones
+    ]
+    gamma = float(lr_scheduler_config.multi_step_lr.gamma)
+
+    lr_cfg = optimizer_config.lr
+    default_lr = float(lr_cfg.default)
+    group_lrs = {
+        "default": default_lr,
+        "nerf_mlp": default_lr,
+        "refractory_period": float(max_refractory_period)
+        * float(optimizer_config.relative_lr.refractory_period),
+        "ct_p2n": float(
+            lr_cfg.get("contrast_threshold", {}).get(
+                "p2n_contrast_threshold_ratio", default_lr
+            )
+        ),
+        "ct_mean": float(
+            lr_cfg.get("contrast_threshold", {}).get(
+                "mean_contrast_threshold", default_lr
+            )
+        ),
+    }
+    pb_lrs = lr_cfg.get("pixel_bandwidth", {})
+    for name in ("tau_mil_it_eff_prod", "A_amp_inv", "A_loop_inv",
+                 "tau_out", "tau_sf", "tau_diff"):
+        group_lrs[f"pb_{name}"] = float(pb_lrs.get(name, default_lr))
+
+    def make_adam(lr, weight_decay=0.0):
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        chain.append(
+            optax.scale_by_schedule(
+                multi_step_schedule(1.0, milestones, gamma)
+                if milestones else (lambda _: 1.0)
+            )
+        )
+        chain.append(optax.scale(-lr))
+        return optax.chain(*chain)
+
+    transforms = {
+        label: make_adam(
+            lr,
+            weight_decay=(nerf_mlp_weight_decay
+                          if label == "nerf_mlp" else 0.0),
+        )
+        for label, lr in group_lrs.items()
+    }
+
+    def label_fn(tree):
+        return tree_utils.path_mask(
+            tree,
+            lambda path: (
+                "nerf_mlp" if _is_nerf_mlp(path)
+                else _label_for_path(path, lr_cfg)
+            ),
+        )
+
+    trainable_mask = build_freeze_mask(params, model_configs)
+    frozen_mask = jax.tree_util.tree_map(
+        lambda t: not t, trainable_mask
+    )
+    # zero frozen grads before the transforms AND zero their updates after
+    # (coupled weight decay would otherwise still move frozen params)
+    tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
+        optax.multi_transform(transforms, label_fn),
+        optax.masked(optax.set_to_zero(), frozen_mask),
+    )
+    return tx, trainable_mask

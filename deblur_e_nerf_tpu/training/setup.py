@@ -1,0 +1,117 @@
+"""Model-of-record assembly: build params/consts/model from a dataset
+directory + config (the reference's `DeblurENeRF.__init__` analog,
+reference: deblur_e_nerf/models/deblur_e_nerf.py:32-242).
+"""
+
+from typing import NamedTuple, Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import camera_poses as camera_poses_data
+from ..data import events as events_data
+from ..models import (event_gen, nerf_model, pixel_bandwidth,
+                      trajectory as trajectory_lib)
+from . import step as step_lib
+
+
+class ModelBundle(NamedTuple):
+    model: Any             # nerf_model.NeRFModel
+    consts: Dict           # non-learnable buffers pytree
+    static_config: Any     # step_lib.StaticConfig
+    loss_config: Any
+    camera_calibration: Dict
+
+
+def build(config, dataset_directory=None, sample_budget=None,
+          batch_capacity=4096, march_chunk=4096, field_chunk=0):
+    """Build (ModelBundle, init_params) from a reference-schema config.
+
+    Args:
+        config: full ConfigDict (reference YAML schema).
+        dataset_directory: overrides config.data.dataset_directory.
+        sample_budget: per-render flat sample budget K; defaults to
+            train_eff_ray_sample_batch_size * (S if blur enabled else 1).
+        batch_capacity: static event-batch capacity N.
+    """
+    mc = config.model
+    root = dataset_directory or config.data.dataset_directory
+    calib = dict(np.load(
+        f"{root}/camera_calibration.npz", allow_pickle=False
+    ))
+    camera_poses = camera_poses_data.load_camera_poses(root)
+    bayer = str(calib[events_data.BAYER_PATTERN_KEY]) \
+        != events_data.NULL_BAYER_PATTERN
+    radiance_dim = 3 if bayer else 1
+
+    pb_enabled = bool(mc.pixel_bandwidth.enable)
+    S = int(mc.pixel_bandwidth.get("it_sample_size", 1))
+    if sample_budget is None:
+        sample_budget = int(
+            config.data.train_eff_ray_sample_batch_size
+        ) * (S if pb_enabled else 1)
+
+    render_bkgd = "parameter" if config.data.alpha_over_white_bg else None
+    model = nerf_model.build(
+        mc.nerf, camera_poses["T_wc_position"], radiance_dim,
+        render_bkgd, sample_budget, march_chunk=march_chunk,
+        field_chunk=field_chunk,
+    )
+
+    # component params/consts
+    key = jax.random.PRNGKey(int(config.get("seed") or 0))
+    params = {"nerf": nerf_model.init_params(model, key)}
+    consts = {}
+
+    ct_params, ct_consts = event_gen.init_contrast_threshold(
+        calib, bool(mc.contrast_threshold.parameterize_mean_ct)
+    )
+    params["contrast_threshold"] = ct_params
+    consts["contrast_threshold"] = ct_consts
+
+    max_rp = events_data.load_max_refractory_period(root)
+    rp_params, rp_consts = event_gen.init_refractory_period(
+        calib, max_rp
+    )
+    params["refractory_period"] = rp_params
+    consts["refractory_period"] = rp_consts
+
+    if pb_enabled:
+        pb_params, pb_consts = pixel_bandwidth.init_pixel_bandwidth(
+            calib,
+            min_ts=int(camera_poses["T_wc_timestamp"].min()),
+            f_c_dominant_min=float(mc.pixel_bandwidth.f_c_dominant_min),
+            target_cumprob_max_sample_lifetime=float(
+                mc.pixel_bandwidth.target_cumprob.max_sample_lifetime
+            ),
+        )
+        params["pixel_bandwidth"] = pb_params
+        consts["pixel_bandwidth"] = pb_consts
+
+    consts["trajectory"] = trajectory_lib.make_trajectory(camera_poses)
+    consts["train_intrinsics_inv"] = jnp.asarray(
+        np.linalg.inv(calib[events_data.INTRINSICS_KEY]),
+        jnp.float32,
+    )
+
+    static_config = step_lib.StaticConfig(
+        pixel_bandwidth_enabled=pb_enabled,
+        it_sample_size=S,
+        has_bayer=bayer,
+        min_modeled_intensity=float(mc.min_modeled_intensity),
+        loss_weight_diff=float(config.loss.weight.log_intensity_diff),
+        loss_weight_tv=float(config.loss.weight.log_intensity_tv),
+        loss_error_fn_diff=str(config.loss.error_fn.log_intensity_diff),
+        loss_error_fn_tv=str(config.loss.error_fn.log_intensity_tv),
+        loss_normalize_diff=bool(
+            config.loss.normalize.log_intensity_diff
+        ),
+        loss_normalize_tv=bool(config.loss.normalize.log_intensity_tv),
+    )
+
+    bundle = ModelBundle(
+        model=model, consts=consts, static_config=static_config,
+        loss_config=config.loss, camera_calibration=calib,
+    )
+    return bundle, params

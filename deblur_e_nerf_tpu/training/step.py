@@ -1,0 +1,322 @@
+"""The jit-compiled training step: event physics -> renders -> loss -> update.
+
+TPU-native redesign of the reference's `DeblurENeRF.training_step`
+(reference: deblur_e_nerf/models/deblur_e_nerf.py:396-586) as ONE pure
+function compiled once:
+
+  - The reference's host-side normalized samplers (data/datamodule.py:151-213)
+    become on-device PRNG draws (float64) from the step key.
+  - The reference's stateful diff-amp reset (pixel_bandwidth.py:419-423) is
+    threaded functionally: the diff.start render (reset_diff=True) produces
+    the ResetState consumed by the other three renders of the same step.
+  - The reference's dynamic batch size (deblur_e_nerf.py:1252-1308) becomes a
+    fixed-capacity event batch with an active-prefix mask: the host chooses
+    the active count from the psum'd samples-per-ray EMA; shapes never
+    change, so the step compiles exactly once.
+  - Timestamp math is float64 (emulated, O(N) negligible); renders are f32.
+
+Batch layout (all arrays capacity N = batch_capacity, prefix-active):
+  position (N, 2) f32, start_ts (N,) i64, end_ts (N,) i64,
+  num_pos (N,) f32, num_neg (N,) f32, channel_idx (N,) i32, valid (N,) bool
+"""
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import (event_gen, nerf_model, pixel_bandwidth,
+                      trajectory as trajectory_lib)
+from ..ops import samplers
+from . import loss as loss_lib
+
+
+class StaticConfig(NamedTuple):
+    """Hashable static configuration of the training step."""
+    pixel_bandwidth_enabled: bool
+    it_sample_size: int           # S
+    has_bayer: bool
+    min_modeled_intensity: float
+    loss_weight_diff: float
+    loss_weight_tv: float
+    loss_error_fn_diff: str
+    loss_error_fn_tv: str
+    loss_normalize_diff: bool
+    loss_normalize_tv: bool
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    occ_state: Any
+    step: jnp.ndarray  # () int32
+
+
+def derive_intervals(event_start_ts, event_end_ts, normalized,
+                     weight_diff, weight_tv):
+    """Supervision interval derivation (float64 ns)
+    (reference: deblur_e_nerf.py:419-455)."""
+    diff = None
+    if weight_diff > 0:
+        ts_diff = (event_end_ts - event_start_ts) \
+            * normalized["ts_diff"]
+        start = event_start_ts + normalized["diff_start_ts"] * (
+            jnp.maximum(event_end_ts - ts_diff, event_start_ts)
+            - event_start_ts
+        )
+        end = jnp.minimum(start + ts_diff, event_end_ts)
+        diff = {"ts_diff": ts_diff, "start_ts": start, "end_ts": end}
+        tv_start, tv_end = start, end
+    else:
+        tv_start, tv_end = event_start_ts, event_end_ts
+
+    subdiff = None
+    if weight_tv > 0:
+        ts_sub = (tv_end - tv_start) * normalized["ts_subdiff"]
+        start = tv_start + normalized["subdiff_start_ts"] * (
+            jnp.maximum(tv_end - ts_sub, tv_start) - tv_start
+        )
+        end = jnp.minimum(start + ts_sub, tv_end)
+        subdiff = {"ts_diff": ts_sub, "start_ts": start, "end_ts": end}
+    return diff, subdiff
+
+
+def draw_normalized_samples(key, n, sc):
+    """On-device analog of the reference's normalized sampler bank
+    (reference: data/datamodule.py:151-213): ts_diff ~ dirac(1),
+    diff_start_ts ~ U[0,1], ts_subdiff ~ triangular(mode 0),
+    subdiff_start_ts ~ U[0,1], interval_gen ~ dirac(0.5)."""
+    k1, k2 = jax.random.split(key)
+    normalized = {
+        "ts_diff": samplers.dirac_delta((n,), 1.0),
+        "diff_start_ts": samplers.uniform(k1, (n,)),
+        "ts_subdiff": samplers.triangular(k2, (n,), mode=0.0),
+        "subdiff_start_ts": samplers.uniform(
+            jax.random.fold_in(k1, 1), (n,)
+        ),
+    }
+    if sc.pixel_bandwidth_enabled:
+        normalized["interval_gen"] = samplers.dirac_delta(
+            (sc.it_sample_size - 1, n), 0.5
+        )
+    return normalized
+
+
+def make_render_train_pixels(model, params, consts, occ_state, sc, key):
+    """Build the (timestamps -> intensity, stats) sampling closure
+    (reference: deblur_e_nerf.py:1162-1183 render_train_pixels)."""
+    traj = consts["trajectory"]
+    intrinsics_inv = consts["train_intrinsics_inv"]
+
+    def render_train_pixels(ts, pixel_position, channel_idx, valid,
+                            render_key):
+        # ts: ([S,] N) f64 ns; pixel_position (N, 2)
+        batch_shape = ts.shape
+        pos, orient = trajectory_lib.interpolate_pose(traj, ts)
+        pixel = jnp.broadcast_to(
+            pixel_position, (*batch_shape, 2)
+        ).astype(jnp.float32)
+        rays_o, rays_d = nerf_model.pixel_params_to_ray(
+            intrinsics_inv.astype(jnp.float32), pixel, pos, orient
+        )
+        flat_o = rays_o.reshape(-1, 3)
+        flat_d = rays_d.reshape(-1, 3)
+        mask = jnp.broadcast_to(valid, batch_shape).reshape(-1)
+        out = nerf_model.render(
+            model, params["nerf"], occ_state, flat_o, flat_d, mask,
+            render_key,
+        )
+        radiance = out["radiance"].reshape(
+            *batch_shape, -1
+        )  # ([S,] N, ch)
+        opacity = out["opacity"].reshape(batch_shape)
+        intensity = radiance + sc.min_modeled_intensity
+        if sc.has_bayer:
+            ch = jnp.broadcast_to(channel_idx, batch_shape)
+            intensity = jnp.take_along_axis(
+                intensity, ch[..., None].astype(jnp.int32), axis=-1
+            )[..., 0]
+        else:
+            intensity = intensity[..., 0]
+        if model.render_bkgd_mode is None:
+            is_valid = opacity > 0
+        else:
+            is_valid = jnp.ones_like(opacity, bool)
+        stats = {
+            "mean_ray_occ_rate": loss_lib.masked_mean(
+                (opacity > 0).astype(jnp.float32),
+                jnp.broadcast_to(valid, batch_shape),
+            ),
+            "num_rendering_samples": out["num_rendering_samples"],
+            "num_rays": jnp.sum(valid) * (
+                batch_shape[0] if len(batch_shape) == 2 else 1
+            ),
+        }
+        return intensity, stats, is_valid
+
+    return render_train_pixels
+
+
+def render_log_intensity(model, params, consts, occ_state, sc, key,
+                         ts, pixel_position, channel_idx, valid,
+                         interval_gen, reset_state, reset_diff):
+    """Log-intensity at event pixels, optionally through the
+    pixel-bandwidth model (reference: deblur_e_nerf.py:1129-1160)."""
+    render_train_pixels = make_render_train_pixels(
+        model, params, consts, occ_state, sc, key
+    )
+    if sc.pixel_bandwidth_enabled:
+        def sampling_fn(sample_ts):
+            return render_train_pixels(
+                sample_ts, pixel_position, channel_idx, valid, key
+            )
+
+        log_it, aux, new_reset_state = pixel_bandwidth.forward(
+            params["pixel_bandwidth"], consts["pixel_bandwidth"],
+            interval_gen, ts, sampling_fn,
+            reset_state=reset_state, reset_diff=reset_diff,
+        )
+        stats, is_valid = aux
+        is_valid = jnp.any(is_valid, axis=0)
+    else:
+        intensity, stats, is_valid = render_train_pixels(
+            ts, pixel_position, channel_idx, valid, key
+        )
+        log_it = jnp.log(intensity)
+        new_reset_state = reset_state
+    return log_it, stats, is_valid, new_reset_state
+
+
+def compute_loss(model, params, consts, occ_state, batch, key, sc,
+                 loss_config):
+    """Forward pass producing (scalar loss, metrics dict)."""
+    valid = batch["valid"]
+    n = valid.shape[0]
+    k_norm, k_r1, k_r2, k_r3, k_r4 = jax.random.split(key, 5)
+    normalized = draw_normalized_samples(k_norm, n, sc)
+
+    log_intensity_diff = event_gen.apply_contrast_threshold(
+        params["contrast_threshold"], consts["contrast_threshold"],
+        batch["num_pos"].astype(jnp.float32),
+        batch["num_neg"].astype(jnp.float32),
+    )
+    start_ts = event_gen.apply_refractory_period(
+        params["refractory_period"], consts["refractory_period"],
+        batch["start_ts"].astype(jnp.float64),
+    )
+    end_ts = batch["end_ts"].astype(jnp.float64)
+    event = {
+        "log_intensity_diff": log_intensity_diff,
+        "start_ts": start_ts,
+        "end_ts": end_ts,
+    }
+
+    diff, subdiff = derive_intervals(
+        start_ts, end_ts, normalized,
+        sc.loss_weight_diff, sc.loss_weight_tv,
+    )
+    interval_gen = normalized.get("interval_gen")
+
+    def render(ts, key_r, reset_state, reset_diff=False):
+        return render_log_intensity(
+            model, params, consts, occ_state, sc, key_r, ts,
+            batch["position"], batch.get("channel_idx"), valid,
+            interval_gen, reset_state, reset_diff,
+        )
+
+    all_stats = []
+    reset_state = None
+    metrics = {}
+    if sc.loss_weight_diff > 0:
+        s_log_it, s_stats, s_valid, reset_state = render(
+            diff["start_ts"], k_r1, None, reset_diff=True
+        )
+        e_log_it, e_stats, e_valid, _ = render(
+            diff["end_ts"], k_r2, reset_state
+        )
+        diff["log_intensity_diff"] = e_log_it - s_log_it
+        diff["is_valid"] = (s_valid | e_valid) & valid
+        all_stats += [s_stats, e_stats]
+    if sc.loss_weight_tv > 0:
+        s_log_it, s_stats, s_valid, _ = render(
+            subdiff["start_ts"], k_r3, reset_state
+        )
+        e_log_it, e_stats, e_valid, _ = render(
+            subdiff["end_ts"], k_r4, reset_state
+        )
+        subdiff["log_intensity_diff"] = e_log_it - s_log_it
+        subdiff["is_valid"] = (s_valid | e_valid) & valid
+        all_stats += [s_stats, e_stats]
+
+    _, _, mean_ct = event_gen.contrast_thresholds(
+        params["contrast_threshold"], consts["contrast_threshold"]
+    )
+    mean_losses = loss_lib.compute(
+        loss_config, event, diff, subdiff, mean_ct
+    )
+    weights = {
+        "log_intensity_diff": sc.loss_weight_diff,
+        "log_intensity_tv": sc.loss_weight_tv,
+    }
+    total = sum(
+        v * weights[name] for name, v in mean_losses.items()
+    )
+
+    total_samples = sum(s["num_rendering_samples"] for s in all_stats)
+    total_rays = sum(s["num_rays"] for s in all_stats)
+    metrics = {
+        "loss": total,
+        **{f"loss_{k}": v for k, v in mean_losses.items()},
+        "mean_num_samples_per_ray": (
+            total_samples.astype(jnp.float32)
+            / jnp.maximum(total_rays, 1).astype(jnp.float32)
+        ),
+        "mean_ray_occ_rate": sum(
+            s["mean_ray_occ_rate"] for s in all_stats
+        ) / max(len(all_stats), 1),
+        "mean_valid_rate": loss_lib.masked_mean(
+            ((diff or subdiff)["is_valid"]).astype(jnp.float32), valid
+        ),
+        "batch_size": jnp.sum(valid),
+    }
+    return total, metrics
+
+
+def make_train_step(model, consts, tx, sc, loss_config):
+    """Build the jitted train step closure.
+
+    Returns step_fn(state: TrainState, batch, key) -> (TrainState, metrics).
+    """
+
+    def step_fn(state, batch, key):
+        def loss_fn(params):
+            return compute_loss(
+                model, params, consts, state.occ_state, batch, key, sc,
+                loss_config,
+            )
+
+        (loss_value, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        # projection: keep the refractory logit in its non-vanishing-
+        # gradient band (reference clamps in-place on every access)
+        new_params = dict(new_params)
+        new_params["refractory_period"] = (
+            event_gen.clamp_refractory_logit(
+                new_params["refractory_period"],
+                consts["refractory_period"],
+            )
+        )
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state,
+            occ_state=state.occ_state, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step_fn

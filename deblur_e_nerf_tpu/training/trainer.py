@@ -1,0 +1,309 @@
+"""Host-side training orchestration (the Lightning Trainer analog).
+
+Replaces the reference's PyTorch-Lightning runtime
+(reference: scripts/run.py:91-100, models/deblur_e_nerf.py hooks) with an
+explicit loop around ONE jit-compiled train step:
+
+  - occupancy-grid updates at gradient-accumulation boundaries
+    (reference: deblur_e_nerf.py:465-469),
+  - dynamic active-batch-size control from the samples-per-ray signal
+    (reference: deblur_e_nerf.py:1252-1308) — here it never recompiles,
+  - gradient accumulation via optax.MultiSteps
+    (reference: Lightning accumulate_grad_batches),
+  - NaN termination (reference: Trainer(terminate_on_nan=True)),
+  - TensorBoard scalar/image logging + checkpoint-per-epoch + metrics.yaml.
+"""
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from ..data import events as events_data
+from ..data import posed_images as posed_images_data
+from ..models import event_gen, nerf_model, pixel_bandwidth
+from . import (checkpoint as checkpoint_lib, evaluation, optim,
+               pipeline, setup as setup_lib, step as step_lib)
+
+
+class Trainer:
+    def __init__(self, config, log_dir, batch_capacity=8192,
+                 march_chunk=4096, field_chunk=0, sample_budget=None):
+        self.config = config
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+
+        root = config.data.dataset_directory
+        self.bundle, self.params = setup_lib.build(
+            config, root, sample_budget=sample_budget,
+            batch_capacity=batch_capacity, march_chunk=march_chunk,
+            field_chunk=field_chunk,
+        )
+        self.batch_capacity = batch_capacity
+
+        # selective restore + freeze (reference: deblur_e_nerf.py:322-387)
+        ckpt_path = config.model.get("checkpoint_filepath")
+        component_flags = {
+            c: bool(config.model[c].get("load_state_dict", False))
+            for c in ("contrast_threshold", "refractory_period", "nerf",
+                      "pixel_bandwidth")
+            if c in self.params
+        }
+        if ckpt_path and any(component_flags.values()):
+            restored = checkpoint_lib.restore(ckpt_path)
+            self.params = checkpoint_lib.selective_restore_params(
+                self.params, restored["params"], component_flags
+            )
+            self.restored_occ_state = jax.tree_util.tree_map(
+                jnp.asarray, restored.get("occ_state")
+            ) if "occ_state" in restored else None
+        else:
+            self.restored_occ_state = None
+
+        trainer_cfg = config.trainer
+        self.max_epochs = int(trainer_cfg.max_epochs)
+        self.steps_per_epoch = int(trainer_cfg.limit_train_batches)
+        self.accumulate = int(
+            trainer_cfg.get("accumulate_grad_batches") or 1
+        )
+        opt_steps_per_epoch = self.steps_per_epoch // self.accumulate
+
+        tx, self.trainable_mask = optim.build(
+            self.params, config.optimizer, config.lr_scheduler,
+            float(config.loss.weight.nerf_mlp_weight_decay),
+            float(self.bundle.consts["refractory_period"]
+                  ["max_refractory_period"]),
+            steps_per_epoch=opt_steps_per_epoch,
+            model_configs={
+                c: config.model[c]
+                for c in ("contrast_threshold", "refractory_period",
+                          "nerf", "pixel_bandwidth")
+            },
+        )
+        if self.accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
+        self.tx = tx
+
+        occ_state = nerf_model.init_occupancy(self.bundle.model)
+        if self.restored_occ_state is not None:
+            occ_state = type(occ_state)(**dict(
+                zip(occ_state._fields, jax.tree_util.tree_leaves(
+                    self.restored_occ_state
+                ))
+            )) if not isinstance(self.restored_occ_state, dict) else \
+                occ_state
+        self.state = step_lib.TrainState(
+            params=self.params, opt_state=tx.init(self.params),
+            occ_state=occ_state, step=jnp.asarray(0, jnp.int32),
+        )
+
+        self.step_fn = jax.jit(step_lib.make_train_step(
+            self.bundle.model, self.bundle.consts, self.tx,
+            self.bundle.static_config, self.bundle.loss_config,
+        ))
+        self.occ_update_fn = jax.jit(
+            lambda params, occ_state, key, step:
+            nerf_model.update_occupancy(
+                self.bundle.model, params, occ_state, key,
+                self.bundle.consts["trajectory"].T_wc_position, step,
+            )
+        )
+
+        # data
+        events = events_data.EventDataset(
+            root, config.data.get("train_dataset_perm_seed")
+        ).events
+        ratio = config.data.train_dataset_ratio
+        if isinstance(ratio, float):
+            dataset_len = int(ratio * len(events["position"]))
+        else:
+            dataset_len = int(ratio) * int(
+                config.data.train_init_eff_batch_size
+            )
+        self.batcher = pipeline.EventBatcher(
+            events, capacity=batch_capacity,
+            seed=int(config.get("seed") or 0),
+            dataset_len=dataset_len,
+            has_bayer=self.bundle.static_config.has_bayer,
+        )
+        self.batch_controller = pipeline.BatchSizeController(
+            target_ray_samples=int(
+                config.data.train_eff_ray_sample_batch_size
+            ),
+            init_batch_size=int(config.data.train_init_eff_batch_size),
+            capacity=batch_capacity,
+        )
+
+        # logging
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(log_dir)
+        except Exception:
+            self.writer = None
+
+        self.evaluator = None  # built lazily (needs PosedImage data)
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def log_scalar(self, name, value, step):
+        if self.writer is not None:
+            self.writer.add_scalar(name, float(value), step)
+
+    def train(self, on_epoch_end=None):
+        key = jax.random.PRNGKey(int(self.config.get("seed") or 0))
+        occ_n = int(self.bundle.model.occ_grid_config.n)
+        t_start = time.time()
+        for epoch in range(self.max_epochs):
+            for i in range(self.steps_per_epoch):
+                if (self.global_step % self.accumulate) == 0:
+                    key, k_occ = jax.random.split(key)
+                    opt_step = self.global_step // self.accumulate
+                    if opt_step % occ_n == 0:
+                        self.state = self.state._replace(
+                            occ_state=self.occ_update_fn(
+                                self.state.params["nerf"],
+                                self.state.occ_state, k_occ,
+                                jnp.asarray(opt_step, jnp.int32),
+                            )
+                        )
+                batch = self.batcher.next_batch(
+                    self.batch_controller.active
+                )
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                key, k_step = jax.random.split(key)
+                self.state, metrics = self.step_fn(
+                    self.state, batch, k_step
+                )
+                self.global_step += 1
+
+                m = float(metrics["mean_num_samples_per_ray"])
+                self.batch_controller.update(m)
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"NaN/Inf loss at step {self.global_step}"
+                    )
+                if self.global_step % 100 == 0 or self.global_step == 1:
+                    for name, value in metrics.items():
+                        self.log_scalar(
+                            f"train/{name}", value, self.global_step
+                        )
+                    self._log_physics_params()
+            if on_epoch_end is not None:
+                on_epoch_end(self, epoch)
+            self.save_checkpoint(epoch)
+        elapsed = time.time() - t_start
+        return elapsed
+
+    def _log_physics_params(self):
+        p, c = self.state.params, self.bundle.consts
+        pos, neg, mean = event_gen.contrast_thresholds(
+            p["contrast_threshold"], c["contrast_threshold"]
+        )
+        self.log_scalar("train/mean_contrast_threshold", mean,
+                        self.global_step)
+        tau = event_gen.refractory_period(
+            p["refractory_period"], c["refractory_period"]
+        )
+        self.log_scalar("train/refractory_period", tau,
+                        self.global_step)
+        if "pixel_bandwidth" in p:
+            eff = pixel_bandwidth.effective_params(p["pixel_bandwidth"])
+            for name, value in eff.items():
+                self.log_scalar(
+                    f"train/pixel_bandwidth/{name}", value,
+                    self.global_step,
+                )
+
+    def save_checkpoint(self, epoch):
+        path = os.path.join(
+            self.log_dir, "checkpoints", f"epoch_{epoch:04d}"
+        )
+        checkpoint_lib.save(path, {
+            "params": jax.tree_util.tree_map(np.asarray,
+                                             self.state.params),
+            "occ_state": {
+                "occs": np.asarray(self.state.occ_state.occs),
+                "binary": np.asarray(self.state.occ_state.binary),
+            },
+            "step": int(self.state.step),
+            "epoch": epoch,
+        })
+
+    # ------------------------------------------------------------------
+    def build_evaluator(self, stage="val"):
+        config = self.config
+        eval_target = list(config.get("eval_target", ["novel_view"]))
+        if set(eval_target) == {"event_view"}:
+            posed_stage = "train"
+        else:
+            posed_stage = stage if stage != "val" else "val"
+        dataset = posed_images_data.PosedImageDataset(
+            config.data.dataset_directory, posed_stage,
+            config.data.get("eval_dataset_perm_seed"),
+            bool(config.data.alpha_over_white_bg),
+        )
+        evaluator = evaluation.Evaluator(
+            config.model.correction,
+            self.bundle.static_config.has_bayer,
+            log_dir=self.log_dir,
+            save_pred_intensity_img=bool(
+                config.model.get("eval_save_pred_intensity_img", False)
+            ),
+        )
+        render_image = evaluation.make_render_image_fn(
+            self.bundle.model
+        )
+        return evaluator, dataset, render_image
+
+    def evaluate(self, stage="val", epoch=0, max_images=None):
+        evaluator, dataset, render_image = self.build_evaluator(stage)
+        data = dataset.posed_imgs
+        intrinsics_inv = jnp.asarray(
+            np.linalg.inv(data["intrinsics"]), jnp.float32
+        )
+        H, W = data["img"].shape[-2:]
+        xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+        pixel_pos = jnp.asarray(
+            np.stack([xs, ys], axis=-1), jnp.float32
+        )
+        n = len(data["img"])
+        if max_images is not None:
+            n = min(n, max_images)
+        outputs = []
+        sc = self.bundle.static_config
+        for i in range(n):
+            img = render_image(
+                self.state.params["nerf"], self.state.occ_state,
+                intrinsics_inv, pixel_pos,
+                jnp.asarray(data["T_wc_position"][i]),
+                jnp.asarray(data["T_wc_orientation"][i]),
+            )
+            pred = np.asarray(img) + sc.min_modeled_intensity
+            out = {
+                "sample_id": data["sample_id"][i],
+                "pred_intensity_img": pred,
+                "target_intensity_img": data["img"][i],
+            }
+            if "exposure_time" in data:
+                out["exposure_time"] = data["exposure_time"][i]
+            if "gain" in data:
+                out["gain"] = data["gain"][i]
+            outputs.append(out)
+        metric = evaluator.epoch_end(
+            outputs, dataset.min_normalized_pixel_value,
+            dataset.max_normalized_pixel_value, epoch=epoch,
+            lpips_net=str(self.config.metric.lpips_net),
+        )
+        for name, value in metric.items():
+            self.log_scalar(f"{stage}/{name}", value, self.global_step)
+        return metric
+
+    def dump_metrics(self, metrics_list, filename="metrics.yaml"):
+        with open(os.path.join(self.log_dir, filename), "w") as f:
+            yaml.safe_dump(metrics_list, f)

@@ -1,0 +1,252 @@
+"""Ray marching + compositing vs brute-force dense oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblur_e_nerf_tpu.models import occupancy, renderer
+from deblur_e_nerf_tpu.models.contraction import ContractionType
+
+AABB = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+RES = 16
+
+
+def make_rc(**kwargs):
+    defaults = dict(
+        aabb=AABB,
+        contraction_type=ContractionType.AABB,
+        grid_resolution=RES,
+        near_plane=0.0,
+        far_plane=None,
+        render_step_size=0.02,
+        cone_angle=0.0,
+        early_stop_eps=0.0,
+        alpha_thre=0.0,
+        stratified=False,
+        max_samples_per_ray=256,
+        sample_budget=8192,
+        march_chunk=16,
+    )
+    defaults.update(kwargs)
+    return renderer.RenderConfig(**defaults)
+
+
+def all_occupied():
+    return jnp.ones((RES ** 3,), bool)
+
+
+def random_rays(rng, n):
+    o = rng.uniform(-3, -2, (n, 3)).astype(np.float32)
+    target = rng.uniform(-0.5, 0.5, (n, 3))
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+
+
+def gaussian_field(x, d=None):
+    """Analytic density blob + direction-independent rgb."""
+    sigma = 20.0 * jnp.exp(-10.0 * jnp.sum(x ** 2, axis=-1,
+                                           keepdims=True))
+    rgb = jnp.stack(
+        [0.5 + 0.5 * jnp.tanh(x[..., 0]),
+         0.5 + 0.5 * jnp.tanh(x[..., 1]),
+         jnp.full_like(x[..., 0], 0.25)], axis=-1
+    )
+    return rgb, sigma
+
+
+def brute_force_render(o, d, rc, binary=None):
+    """Dense numpy quadrature with the same timeline as the marcher."""
+    o = np.asarray(o)
+    d = np.asarray(d)
+    R = len(o)
+    aabb = np.asarray(rc.aabb)
+    safe_d = np.where(np.abs(d) < 1e-10, 1e-10, d)
+    t0 = (aabb[:3] - o) / safe_d
+    t1 = (aabb[3:] - o) / safe_d
+    t_in = np.maximum(np.minimum(t0, t1).max(-1), rc.near_plane or 0.0)
+    t_out = np.maximum(np.maximum(t0, t1).min(-1), 0.0)
+    colors = np.zeros((R, 3))
+    opac = np.zeros(R)
+    depth = np.zeros(R)
+    for r in range(R):
+        t = t_in[r]
+        T = 1.0
+        while t + rc.render_step_size / 2 < t_out[r]:
+            tm = t + rc.render_step_size / 2
+            x = o[r] + d[r] * tm
+            occupied = True
+            if binary is not None:
+                cell = np.floor(
+                    (x - aabb[:3]) / (aabb[3:] - aabb[:3]) * RES
+                ).astype(int)
+                if np.all((cell >= 0) & (cell < RES)):
+                    occupied = bool(
+                        np.asarray(binary)[
+                            (cell[2] * RES + cell[1]) * RES + cell[0]
+                        ]
+                    )
+                else:
+                    occupied = False
+            if occupied:
+                rgb, sigma = gaussian_field(jnp.asarray(x[None]))
+                sigma = float(np.asarray(sigma)[0, 0])
+                rgb = np.asarray(rgb)[0]
+                alpha = 1 - np.exp(-sigma * rc.render_step_size)
+                w = T * alpha
+                colors[r] += w * rgb
+                opac[r] += w
+                depth[r] += w * tm
+                T *= 1 - alpha
+            t += rc.render_step_size
+    return colors, opac, depth
+
+
+def test_render_matches_brute_force_all_occupied():
+    rng = np.random.default_rng(0)
+    o, d = random_rays(rng, 8)
+    rc = make_rc()
+    out = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d,
+        jnp.ones(8, bool), jax.random.PRNGKey(0), rc,
+    )
+    colors, opac, depth = brute_force_render(o, d, rc)
+    np.testing.assert_allclose(np.asarray(out["radiance"]), colors,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["opacity"]), opac,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]) * np.asarray(out["opacity"] + 1e-10),
+        depth, rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_render_with_sparse_occupancy():
+    """Occupancy pruning must exactly skip unoccupied cells."""
+    rng = np.random.default_rng(1)
+    o, d = random_rays(rng, 6)
+    rc = make_rc()
+    binary = jnp.asarray(rng.uniform(size=RES ** 3) < 0.3)
+    out = renderer.render_rays(
+        gaussian_field, binary, o, d, jnp.ones(6, bool),
+        jax.random.PRNGKey(0), rc,
+    )
+    colors, opac, _ = brute_force_render(o, d, rc, binary=binary)
+    np.testing.assert_allclose(np.asarray(out["radiance"]), colors,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["opacity"]), opac,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_masked_rays_produce_nothing():
+    rng = np.random.default_rng(2)
+    o, d = random_rays(rng, 8)
+    mask = jnp.asarray([True, False] * 4)
+    rc = make_rc()
+    out = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, mask,
+        jax.random.PRNGKey(0), rc,
+    )
+    counts = np.asarray(out["counts"])
+    assert np.all(counts[1::2] == 0)
+    assert np.all(counts[0::2] > 0)
+    np.testing.assert_allclose(
+        np.asarray(out["radiance"])[1::2], 0.0, atol=1e-7
+    )
+
+
+def test_sample_budget_overflow_is_reported():
+    rng = np.random.default_rng(3)
+    o, d = random_rays(rng, 8)
+    rc = make_rc(sample_budget=64)
+    out = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(8, bool),
+        jax.random.PRNGKey(0), rc,
+    )
+    assert int(out["num_marched_samples"]) > 64
+
+
+def test_early_stop_reduces_sample_count():
+    rng = np.random.default_rng(4)
+    o, d = random_rays(rng, 8)
+    out_full = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(8, bool),
+        jax.random.PRNGKey(0), make_rc(early_stop_eps=0.0),
+    )
+    out_es = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(8, bool),
+        jax.random.PRNGKey(0), make_rc(early_stop_eps=1e-2),
+    )
+    assert int(out_es["num_rendering_samples"]) \
+        < int(out_full["num_rendering_samples"])
+    # radiance changes only marginally (terminated tail carries < eps weight)
+    np.testing.assert_allclose(
+        np.asarray(out_es["radiance"]), np.asarray(out_full["radiance"]),
+        atol=2e-2,
+    )
+
+
+def test_render_differentiable_wrt_field():
+    """Gradient flows through compositing into a parametrized field."""
+    rng = np.random.default_rng(5)
+    o, d = random_rays(rng, 4)
+    rc = make_rc(max_samples_per_ray=128, sample_budget=1024)
+
+    def loss(scale):
+        def field(x, dd):
+            rgb, sigma = gaussian_field(x, dd)
+            return rgb * scale, sigma * scale
+
+        out = renderer.render_rays(
+            field, all_occupied(), o, d, jnp.ones(4, bool),
+            jax.random.PRNGKey(0), rc,
+        )
+        return jnp.sum(out["radiance"])
+
+    g = jax.grad(loss)(jnp.asarray(1.0, jnp.float32))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    eps = 1e-3
+    fd = (float(loss(jnp.asarray(1.0 + eps)))
+          - float(loss(jnp.asarray(1.0 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-2)
+
+
+def test_cone_angle_step_growth():
+    t = renderer._step_sequence(
+        jnp.asarray([1.0], jnp.float32),
+        make_rc(cone_angle=0.01, render_step_size=0.02,
+                max_samples_per_ray=64),
+    )
+    t = np.asarray(t)[0]
+    dt = np.diff(t)
+    assert np.all(dt >= 0.02 - 1e-6)
+    # late steps grow geometrically
+    assert dt[-1] > dt[0]
+    # recurrence check: dt_k == max(step, cone * t_k) approximately
+    want = np.maximum(0.02, 0.01 * t[:-1])
+    np.testing.assert_allclose(dt, want, rtol=1e-2)
+
+
+def test_stratified_jitter_changes_samples():
+    rng = np.random.default_rng(6)
+    o, d = random_rays(rng, 4)
+    rc = make_rc(stratified=True)
+    out1 = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(4, bool),
+        jax.random.PRNGKey(1), rc,
+    )
+    out2 = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(4, bool),
+        jax.random.PRNGKey(2), rc,
+    )
+    assert not np.allclose(np.asarray(out1["radiance"]),
+                           np.asarray(out2["radiance"]))
+    # but radiance stays close to the unjittered render
+    out0 = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, jnp.ones(4, bool),
+        jax.random.PRNGKey(0), make_rc(stratified=False),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["radiance"]), np.asarray(out0["radiance"]),
+        atol=0.1,
+    )
