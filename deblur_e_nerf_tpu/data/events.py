@@ -210,13 +210,22 @@ class EventDataset:
 
         calib = load_camera_calibration(root_directory)
         raw = load_raw_events(root_directory)
-        events = pack_events(
+        from . import native_evpack
+        events = native_evpack.pack_events(
             raw[RAW_EVENT_POSITION_KEY],
             raw[RAW_EVENT_TIMESTAMP_KEY],
             raw[RAW_EVENT_POLARITY_KEY],
             int(calib[IMG_HEIGHT_KEY]),
             int(calib[IMG_WIDTH_KEY]),
         )
+        if events is None:  # no native toolchain: vectorized numpy path
+            events = pack_events(
+                raw[RAW_EVENT_POSITION_KEY],
+                raw[RAW_EVENT_TIMESTAMP_KEY],
+                raw[RAW_EVENT_POLARITY_KEY],
+                int(calib[IMG_HEIGHT_KEY]),
+                int(calib[IMG_WIDTH_KEY]),
+            )
         events = colorize_events(events, str(calib[BAYER_PATTERN_KEY]))
         events = undistort_events(
             events,
@@ -240,11 +249,19 @@ def load_max_refractory_period(root_directory):
         return np.load(cache_path)
     calib = load_camera_calibration(root_directory)
     raw = load_raw_events(root_directory)
-    max_rp = extract_max_refractory_period(
+    from . import native_evpack
+    max_rp = native_evpack.max_refractory_period(
         raw[RAW_EVENT_POSITION_KEY],
         raw[RAW_EVENT_TIMESTAMP_KEY],
         int(calib[IMG_HEIGHT_KEY]),
         int(calib[IMG_WIDTH_KEY]),
     )
+    if max_rp is None:  # no native toolchain: vectorized numpy path
+        max_rp = extract_max_refractory_period(
+            raw[RAW_EVENT_POSITION_KEY],
+            raw[RAW_EVENT_TIMESTAMP_KEY],
+            int(calib[IMG_HEIGHT_KEY]),
+            int(calib[IMG_WIDTH_KEY]),
+        )
     np.save(cache_path, max_rp)
     return max_rp
