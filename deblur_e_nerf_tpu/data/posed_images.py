@@ -82,6 +82,8 @@ def normalize_sample_id(sample_id):
 
 
 def sample_id_to_str(code_points):
+    if isinstance(code_points, str):
+        return code_points.rstrip()
     return "".join(map(chr, np.asarray(code_points).tolist())).rstrip()
 
 
@@ -199,7 +201,10 @@ class PosedImageDataset:
         if num_img_channels == 4:
             assert is_synthetic
 
-        if alpha_over_white_bg:
+        # alpha-over requires an alpha channel; the config flag is also set
+        # for RGB/monochrome renders (where the model instead learns a
+        # background radiance parameter) — those images pass through
+        if alpha_over_white_bg and num_img_channels == 4:
             if interm_color_space == "display":
                 alpha = img[..., 3] / (num_quantization_levels - 1)
                 alpha = alpha[..., np.newaxis]
