@@ -25,8 +25,12 @@ if _REPO not in sys.path:
 IMG_SIZE = 64
 NUM_EVENTS = 200_000
 BATCH_CAPACITY = 2048
-SAMPLE_BUDGET = 1 << 20     # flat ray-march sample buffer per render
-MARCH_CHUNK = 2048
+EFF_RAY_SAMPLES = 16384     # target event-ray samples per step (reference
+                            # semantics: active events = EFF / samples-per-ray)
+N_SLICES = 4                # interval endpoints rendered per step
+S = 30                      # pixel-bandwidth intensity samples
+SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
+MARCH_CHUNK = 4096
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 
@@ -92,7 +96,7 @@ def main():
     events = events_data.EventDataset(root).events
     batcher = pipeline.EventBatcher(events, capacity=BATCH_CAPACITY, seed=0)
     controller = pipeline.BatchSizeController(
-        target_ray_samples=SAMPLE_BUDGET // max(sc.it_sample_size, 1),
+        target_ray_samples=EFF_RAY_SAMPLES,
         init_batch_size=BATCH_CAPACITY // 4,
         capacity=BATCH_CAPACITY,
     )
@@ -108,8 +112,12 @@ def main():
         return metrics
 
     for i in range(WARMUP_STEPS):
+        t0 = time.time()
         m = run_step(i, controller.active)
         controller.update(float(m["mean_num_samples_per_ray"]))
+        print(f"warmup {i}: {time.time() - t0:.1f}s "
+              f"m={float(m['mean_num_samples_per_ray']):.1f}",
+              file=sys.stderr, flush=True)
 
     total_rays = 0
     t0 = time.time()
@@ -117,8 +125,8 @@ def main():
         active = controller.active
         m = run_step(WARMUP_STEPS + i, active)
         controller.update(float(m["mean_num_samples_per_ray"]))
-        # 4 renders x S intensity samples x active events
-        total_rays += 4 * max(sc.it_sample_size, 1) * active
+        # N_SLICES interval endpoints x S intensity samples x active events
+        total_rays += N_SLICES * max(sc.it_sample_size, 1) * active
     elapsed = time.time() - t0
 
     assert np.isfinite(float(m["loss"]))

@@ -48,9 +48,16 @@ def build(config, dataset_directory=None, sample_budget=None,
     pb_enabled = bool(mc.pixel_bandwidth.enable)
     S = int(mc.pixel_bandwidth.get("it_sample_size", 1))
     if sample_budget is None:
+        # the fused training render batches every interval endpoint of the
+        # step (2 per enabled loss term) x S intensity samples; the flat
+        # sample buffer must hold the step's whole ray-sample budget
+        n_render_slices = (
+            (2 if float(config.loss.weight.log_intensity_diff) > 0 else 0)
+            + (2 if float(config.loss.weight.log_intensity_tv) > 0 else 0)
+        )
         sample_budget = int(
             config.data.train_eff_ray_sample_batch_size
-        ) * (S if pb_enabled else 1)
+        ) * (S if pb_enabled else 1) * max(n_render_slices, 1)
 
     render_bkgd = "parameter" if config.data.alpha_over_white_bg else None
     model = nerf_model.build(

@@ -191,10 +191,18 @@ def render_log_intensity(model, params, consts, occ_state, sc, key,
 
 def compute_loss(model, params, consts, occ_state, batch, key, sc,
                  loss_config):
-    """Forward pass producing (scalar loss, metrics dict)."""
+    """Forward pass producing (scalar loss, metrics dict).
+
+    The reference issues four sequential renders per step (diff start/end,
+    subdiff start/end; reference: deblur_e_nerf.py:472-526). The renders
+    are independent — only the differencing-amp reset correction couples
+    them, and it is an elementwise epilogue — so all interval-endpoint
+    timestamps are batched into ONE render of R*N events: 4x larger
+    batched matmuls on the MXU and a 4x smaller compiled program.
+    """
     valid = batch["valid"]
     n = valid.shape[0]
-    k_norm, k_r1, k_r2, k_r3, k_r4 = jax.random.split(key, 5)
+    k_norm, k_render = jax.random.split(key)
     normalized = draw_normalized_samples(k_norm, n, sc)
 
     log_intensity_diff = event_gen.apply_contrast_threshold(
@@ -217,38 +225,54 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         start_ts, end_ts, normalized,
         sc.loss_weight_diff, sc.loss_weight_tv,
     )
-    interval_gen = normalized.get("interval_gen")
 
-    def render(ts, key_r, reset_state, reset_diff=False):
-        return render_log_intensity(
-            model, params, consts, occ_state, sc, key_r, ts,
-            batch["position"], batch.get("channel_idx"), valid,
-            interval_gen, reset_state, reset_diff,
-        )
+    # one batched render over all interval endpoints
+    ts_slices = []
+    if diff is not None:
+        ts_slices += [diff["start_ts"], diff["end_ts"]]
+    if subdiff is not None:
+        ts_slices += [subdiff["start_ts"], subdiff["end_ts"]]
+    R = len(ts_slices)
+    ts_all = jnp.concatenate(ts_slices)           # (R*N,) f64
+    pixel_all = jnp.tile(batch["position"], (R, 1))
+    channel_idx = batch.get("channel_idx")
+    channel_all = None if channel_idx is None \
+        else jnp.tile(channel_idx, R)
+    valid_all = jnp.tile(valid, R)
 
-    all_stats = []
-    reset_state = None
-    metrics = {}
-    if sc.loss_weight_diff > 0:
-        s_log_it, s_stats, s_valid, reset_state = render(
-            diff["start_ts"], k_r1, None, reset_diff=True
+    render_train_pixels = make_render_train_pixels(
+        model, params, consts, occ_state, sc, k_render
+    )
+    if sc.pixel_bandwidth_enabled:
+        interval_gen_all = jnp.tile(normalized["interval_gen"], (1, R))
+
+        def sampling_fn(sample_ts):
+            return render_train_pixels(
+                sample_ts, pixel_all, channel_all, valid_all, k_render
+            )
+
+        log_it_all, aux, _ = pixel_bandwidth.forward_fused(
+            params["pixel_bandwidth"], consts["pixel_bandwidth"],
+            interval_gen_all, ts_all, sampling_fn, n,
         )
-        e_log_it, e_stats, e_valid, _ = render(
-            diff["end_ts"], k_r2, reset_state
+        stats, is_valid_s = aux
+        is_valid_all = jnp.any(is_valid_s, axis=0)
+    else:
+        intensity, stats, is_valid_all = render_train_pixels(
+            ts_all, pixel_all, channel_all, valid_all, k_render
         )
-        diff["log_intensity_diff"] = e_log_it - s_log_it
-        diff["is_valid"] = (s_valid | e_valid) & valid
-        all_stats += [s_stats, e_stats]
-    if sc.loss_weight_tv > 0:
-        s_log_it, s_stats, s_valid, _ = render(
-            subdiff["start_ts"], k_r3, reset_state
-        )
-        e_log_it, e_stats, e_valid, _ = render(
-            subdiff["end_ts"], k_r4, reset_state
-        )
-        subdiff["log_intensity_diff"] = e_log_it - s_log_it
-        subdiff["is_valid"] = (s_valid | e_valid) & valid
-        all_stats += [s_stats, e_stats]
+        log_it_all = jnp.log(intensity)
+
+    outs = log_it_all.reshape(R, n)
+    valids = is_valid_all.reshape(R, n)
+    i = 0
+    if diff is not None:
+        diff["log_intensity_diff"] = outs[i + 1] - outs[i]
+        diff["is_valid"] = (valids[i] | valids[i + 1]) & valid
+        i += 2
+    if subdiff is not None:
+        subdiff["log_intensity_diff"] = outs[i + 1] - outs[i]
+        subdiff["is_valid"] = (valids[i] | valids[i + 1]) & valid
 
     _, _, mean_ct = event_gen.contrast_thresholds(
         params["contrast_threshold"], consts["contrast_threshold"]
@@ -264,18 +288,14 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         v * weights[name] for name, v in mean_losses.items()
     )
 
-    total_samples = sum(s["num_rendering_samples"] for s in all_stats)
-    total_rays = sum(s["num_rays"] for s in all_stats)
     metrics = {
         "loss": total,
         **{f"loss_{k}": v for k, v in mean_losses.items()},
         "mean_num_samples_per_ray": (
-            total_samples.astype(jnp.float32)
-            / jnp.maximum(total_rays, 1).astype(jnp.float32)
+            stats["num_rendering_samples"].astype(jnp.float32)
+            / jnp.maximum(stats["num_rays"], 1).astype(jnp.float32)
         ),
-        "mean_ray_occ_rate": sum(
-            s["mean_ray_occ_rate"] for s in all_stats
-        ) / max(len(all_stats), 1),
+        "mean_ray_occ_rate": stats["mean_ray_occ_rate"],
         "mean_valid_rate": loss_lib.masked_mean(
             ((diff or subdiff)["is_valid"]).astype(jnp.float32), valid
         ),

@@ -151,15 +151,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def log_scalar(self, name, value, step):
-        if self.writer is not None:
-            self.writer.add_scalar(name, float(value), step)
+        value = float(value)
+        if self.writer is not None and np.isfinite(value):
+            self.writer.add_scalar(name, value, step)
 
     def train(self, on_epoch_end=None):
         key = jax.random.PRNGKey(int(self.config.get("seed") or 0))
         occ_n = int(self.bundle.model.occ_grid_config.n)
         t_start = time.time()
+        # optional device trace (config.trainer.profile_steps: [start, stop];
+        # the reference exposes Lightning's profiler kwarg the same way —
+        # SURVEY.md §5.1)
+        profile_steps = self.config.trainer.get("profile_steps")
         for epoch in range(self.max_epochs):
             for i in range(self.steps_per_epoch):
+                if profile_steps \
+                        and self.global_step == int(profile_steps[0]):
+                    jax.profiler.start_trace(
+                        os.path.join(self.log_dir, "profile")
+                    )
                 if (self.global_step % self.accumulate) == 0:
                     key, k_occ = jax.random.split(key)
                     opt_step = self.global_step // self.accumulate
@@ -180,6 +190,10 @@ class Trainer:
                     self.state, batch, k_step
                 )
                 self.global_step += 1
+                if profile_steps \
+                        and self.global_step == int(profile_steps[1]):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
 
                 m = float(metrics["mean_num_samples_per_ray"])
                 self.batch_controller.update(m)

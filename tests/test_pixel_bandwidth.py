@@ -217,3 +217,56 @@ def test_forward_differentiable_wrt_params_and_intensity():
     flat = jax.tree_util.tree_leaves(g_params)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert float(g_scale) != 0.0
+
+
+def test_forward_fused_matches_sequential():
+    """One batched forward over R slices == R sequential forward calls
+    with the reset state threaded between them."""
+    params, consts = make_model()
+    rng = np.random.default_rng(7)
+    S, N, R = 9, 6, 4
+    gen = jnp.asarray(rng.uniform(0.2, 0.8, (S - 1, N)))
+    # R timestamp slices; slice 0 is the reset producer
+    ts_slices = [
+        jnp.asarray(rng.uniform(4e9, 5e9, N), jnp.float64)
+        for _ in range(R)
+    ]
+
+    def intensity_of_ts(sample_ts):
+        # smooth positive analytic intensity
+        return (
+            0.5 + 0.3 * jnp.sin(
+                sample_ts.astype(jnp.float32) * 1e-9
+            ),
+        )
+
+    # sequential (reference-structured) path
+    seq_out = []
+    out0, _, reset_state = pb.forward(
+        params, consts, gen, ts_slices[0], intensity_of_ts,
+        reset_diff=True,
+    )
+    seq_out.append(out0)
+    for k in range(1, R):
+        out_k, _, _ = pb.forward(
+            params, consts, gen, ts_slices[k], intensity_of_ts,
+            reset_state=reset_state,
+        )
+        seq_out.append(out_k)
+    seq_out = jnp.concatenate(seq_out)
+
+    # fused single-render path
+    gen_all = jnp.tile(gen, (1, R))
+    ts_all = jnp.concatenate(ts_slices)
+    fused_out, _, fused_state = pb.forward_fused(
+        params, consts, gen_all, ts_all, intensity_of_ts, N,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(seq_out), rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_state.reset_delta_log_it),
+        np.asarray(reset_state.reset_delta_log_it), rtol=1e-5,
+        atol=1e-7,
+    )
