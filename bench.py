@@ -31,6 +31,7 @@ N_SLICES = 4                # interval endpoints rendered per step
 S = 30                      # pixel-bandwidth intensity samples
 SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
 MARCH_CHUNK = 4096
+FIELD_CHUNK = 1 << 19       # remat chunks for field eval (bounds activations)
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 
@@ -64,6 +65,7 @@ def main():
     bundle, params = setup.build(
         config, root, sample_budget=SAMPLE_BUDGET,
         batch_capacity=BATCH_CAPACITY, march_chunk=MARCH_CHUNK,
+        field_chunk=FIELD_CHUNK,
     )
     sc = bundle.static_config
     tx, _ = optim.build(
@@ -80,11 +82,21 @@ def main():
     )
 
     occ_state = nerf_model.init_occupancy(bundle.model)
-    occ_state = nerf_model.update_occupancy(
-        bundle.model, params["nerf"], occ_state, jax.random.PRNGKey(0),
-        bundle.consts["trajectory"].T_wc_position,
+    occ_update = jax.jit(
+        lambda p, s, k, i: nerf_model.update_occupancy(
+            bundle.model, p, s, k,
+            bundle.consts["trajectory"].T_wc_position, i,
+        )
+    )
+    t0 = time.time()
+    occ_state = occ_update(
+        params["nerf"], occ_state, jax.random.PRNGKey(0),
         jnp.asarray(0, jnp.int32),
     )
+    jax.block_until_ready(occ_state.binary)
+    print(f"occ update: {time.time() - t0:.1f}s "
+          f"rate={float(jnp.mean(occ_state.binary)):.3f}",
+          file=sys.stderr, flush=True)
     state = step_lib.TrainState(
         params=params, opt_state=tx.init(params), occ_state=occ_state,
         step=jnp.asarray(0, jnp.int32),

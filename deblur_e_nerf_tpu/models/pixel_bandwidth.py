@@ -24,6 +24,7 @@ A_loop_inv, tau_out, tau_sf, tau_diff; `tau_in_it_eff_prod` is a constant
 making the NeRF intensity scale observable through the filter dynamics.
 """
 
+import functools
 import math
 from typing import Callable, NamedTuple, Tuple
 
@@ -178,20 +179,25 @@ def discretized_sys_to_weight(sysd):
     computed with a reversed lax.scan carrying C phi(i+1, S-1)
     (reference: pixel_bandwidth.py:260-296 uses a Python loop).
     """
-    A = sysd.A          # (S-1, ..., n, n)
-    B = sysd.B          # (S-1, ..., n, m)
-    Bt = sysd.B_tilde   # (S-1, ..., n, m)
-    C = sysd.C[0]       # (..., o, n)
-    D = sysd.D[0]       # (..., o, m)
+    # matrix-leading layout: tiny (o, n)/(n, m) dims lead, batch dims land
+    # on the hardware tiles (see ops/linalg.py)
+    A = jnp.moveaxis(sysd.A, (-2, -1), (1, 2))    # (S-1, n, n, ...)
+    B = jnp.moveaxis(sysd.B, (-2, -1), (1, 2))    # (S-1, n, m, ...)
+    Bt = jnp.moveaxis(sysd.B_tilde, (-2, -1), (1, 2))
+    C = jnp.moveaxis(sysd.C[0], (-2, -1), (0, 1))  # (o, n, ...)
+    D = jnp.moveaxis(sysd.D[0], (-2, -1), (0, 1))  # (o, m, ...)
     S = A.shape[0] + 1
+    mm = lambda x, y: jnp.einsum("ij...,jk...->ik...", x, y)  # noqa: E731
 
-    w_last = C @ Bt[S - 2] + D  # (..., o, m)
+    batch_shape = A.shape[3:]
+    C = jnp.broadcast_to(C, (*C.shape[:2], *batch_shape))
+    w_last = mm(C, Bt[S - 2]) + D  # (o, m, ...)
 
     def body(c_phi, inputs):
         # c_phi = C phi(i+1, S-1); inputs at index i in [S-2, ..., 1]
         A_i, B_i, Bt_im1 = inputs
-        c_phi_i = c_phi @ A_i  # C phi(i, S-1)
-        w_i = c_phi @ B_i + c_phi_i @ Bt_im1
+        c_phi_i = mm(c_phi, A_i)  # C phi(i, S-1)
+        w_i = mm(c_phi, B_i) + mm(c_phi_i, Bt_im1)
         return c_phi_i, w_i
 
     if S > 2:
@@ -199,11 +205,11 @@ def discretized_sys_to_weight(sysd):
         c_phi_1, w_mid = jax.lax.scan(body, C, xs, reverse=True)
     else:
         c_phi_1, w_mid = C, jnp.zeros((0, *w_last.shape), w_last.dtype)
-    w_first = c_phi_1 @ B[0]
+    w_first = mm(c_phi_1, B[0])
     weight = jnp.concatenate(
         [w_first[None], w_mid, w_last[None]], axis=0
-    )  # (S, ..., o, m)
-    return weight
+    )  # (S, o, m, ...)
+    return jnp.moveaxis(weight, (1, 2), (-2, -1))  # (S, ..., o, m)
 
 
 def sample_lifetimes(params, consts, normalized_interval_gen, output_ts):
@@ -234,10 +240,9 @@ def sample_lifetimes(params, consts, normalized_interval_gen, output_ts):
     return sample_ts
 
 
-def intensity_sample_to_weight(params, consts, intensity_sample,
-                               sample_dt, output_sf_log_it=False):
-    """Linearize + FOH-discretize + collapse to weights
-    (reference: pixel_bandwidth.py:369-396). sample_dt in ns, float32."""
+@functools.partial(jax.checkpoint, static_argnums=(0,))
+def _weight_remat(output_sf_log_it, params, consts, intensity_sample,
+                  sample_dt):
     lin_sys = linearize_sys(
         params, consts, intensity_sample[1:], output_sf_log_it
     )
@@ -247,6 +252,20 @@ def intensity_sample_to_weight(params, consts, intensity_sample,
     )
     weight = discretized_sys_to_weight(sysd)  # (S, ..., o, 1)
     return weight[..., 0]  # (S, ..., o)
+
+
+def intensity_sample_to_weight(params, consts, intensity_sample,
+                               sample_dt, output_sf_log_it=False):
+    """Linearize + FOH-discretize + collapse to weights
+    (reference: pixel_bandwidth.py:369-396). sample_dt in ns, float32.
+
+    Rematerialized: the expm squaring chain would otherwise persist its
+    per-iteration residual stack from forward to backward.
+    """
+    return _weight_remat(
+        bool(output_sf_log_it), params, consts, intensity_sample,
+        sample_dt,
+    )
 
 
 def weighted_samples_to_output_log_it(params, weight, intensity_sample,

@@ -47,29 +47,47 @@ def foh_cont2discrete(system, dt, is_state_preserved=False,
     a, b, c, d = system.A, system.B, system.C, system.D
     n = a.shape[-1]
     m = b.shape[-1]
-    dt = jnp.asarray(dt, dtype=a.dtype)[..., None, None]
+
+    # all small-matrix math runs in matrix-leading layout (n, n, batch...)
+    # so batch dims land on the (8, 128) hardware tiles with zero padding
+    # (see ops/linalg.py); convert at the boundary only.
+    a_ml = jnp.moveaxis(a, (-2, -1), (0, 1))
+    b_ml = jnp.moveaxis(jnp.broadcast_to(
+        b, (*a.shape[:-2], n, m)
+    ), (-2, -1), (0, 1))
+    batch_ndim = a_ml.ndim - 2
+    dt_ml = jnp.asarray(dt, dtype=a.dtype)[None, None]
 
     if is_efficient:
-        a_dt = a * dt
-        phi = linalg.expm(a_dt)
-        a_inv_b = jnp.linalg.solve(a, b)
-        eye = jnp.eye(n, dtype=a.dtype)
-        gamma1 = (phi - eye) @ a_inv_b
-        gamma2 = jnp.linalg.solve(a_dt, gamma1) - a_inv_b
+        a_dt = a_ml * dt_ml
+        phi_ml = linalg.expm_ml(a_dt)
+        a_inv_b = linalg.solve_ml(a_ml, b_ml)
+        eye = linalg.eye_ml(n, batch_ndim, a.dtype)
+        gamma1_ml = linalg.matmul_ml(phi_ml - eye, a_inv_b)
+        gamma2_ml = linalg.solve_ml(a_dt, gamma1_ml) - a_inv_b
     else:
         batch_shape = jnp.broadcast_shapes(
-            a.shape[:-2], dt.shape[:-2]
+            a.shape[:-2], jnp.shape(dt)
         )
-        em = jnp.zeros((*batch_shape, n + 2 * m, n + 2 * m), dtype=a.dtype)
-        em = em.at[..., :n, :n].set(a * dt)
-        em = em.at[..., :n, n:n + m].set(b * dt)
-        em = em.at[..., n:n + m, n + m:].set(
-            jnp.eye(m, dtype=a.dtype)
+        n2 = n + 2 * m
+        em = jnp.zeros((n2, n2, *batch_shape), dtype=a.dtype)
+        em = em.at[:n, :n].set(
+            jnp.broadcast_to(a_ml * dt_ml, (n, n, *batch_shape))
         )
-        ms = linalg.expm(em)
-        phi = ms[..., :n, :n]
-        gamma1 = ms[..., :n, n:n + m]
-        gamma2 = ms[..., :n, n + m:]
+        em = em.at[:n, n:n + m].set(
+            jnp.broadcast_to(b_ml * dt_ml, (n, m, *batch_shape))
+        )
+        em = em.at[n:n + m, n + m:].set(
+            linalg.eye_ml(m, len(batch_shape), a.dtype)
+        )
+        ms = linalg.expm_ml(em)
+        phi_ml = ms[:n, :n]
+        gamma1_ml = ms[:n, n:n + m]
+        gamma2_ml = ms[:n, n + m:]
+
+    phi = jnp.moveaxis(phi_ml, (0, 1), (-2, -1))
+    gamma1 = jnp.moveaxis(gamma1_ml, (0, 1), (-2, -1))
+    gamma2 = jnp.moveaxis(gamma2_ml, (0, 1), (-2, -1))
 
     if is_state_preserved:
         return StateSpace(

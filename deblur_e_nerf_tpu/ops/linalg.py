@@ -1,14 +1,21 @@
-"""Batched float32-safe matrix exponential.
+"""Batched small-matrix linear algebra in matrix-leading layout.
 
-`jax.scipy.linalg.expm` overflows in float32 on the stiff pixel-circuit
-systems this framework linearizes (|A dt| up to ~1e7; high matrix powers
-exceed the f32 range before scaling), and float64 linalg is unsupported on
-TPU. This implements the classic scaling-and-squaring Pade-13 approximant
-with *per-batch-element* scaling applied BEFORE any matrix powers, so all
-intermediates stay bounded: ||A/2^s|| <= theta13. The squaring loop runs a
-fixed MAX_SQUARINGS trip count with per-element predication
-(`where(i < s, phi @ phi, phi)`) — static shapes, jit/vmap/grad-friendly,
-and 4x4 batched matmuls map cleanly onto the TPU.
+The pixel-bandwidth model batches hundreds of thousands of 4x4 state-space
+matrices. In the conventional (..., n, n) layout, the TPU pads the minor
+(n, n) = (4, 4) dims to an (8, 128) tile — a 32x memory expansion that
+turns 350MB of expm residuals into 11GB of HBM. All math here therefore
+uses a **matrix-leading** layout (n, n, batch...): the tiny static matrix
+dims are major axes (unrolled Python loops / einsum contractions) and the
+large batch dims land on the hardware tiles with zero padding. On the VPU
+a 4x4 matmul is 64 fused multiply-adds over (batch,) vectors.
+
+Provides:
+  - matmul_ml / solve_ml (unrolled partial-pivot Gaussian elimination)
+  - expm_ml: float32-safe Pade-13 scaling-and-squaring with per-element
+    scaling applied BEFORE any matrix powers (`jax.scipy.linalg.expm`
+    overflows in f32 on the stiff pixel-circuit systems, and f64 linalg is
+    unsupported on TPU)
+  - expm: (..., n, n) wrapper around expm_ml for API compatibility
 """
 
 import jax
@@ -21,40 +28,102 @@ _PADE13_B = (
     960960.0, 16380.0, 182.0, 1.0,
 )
 _THETA13 = 5.371920351148152
-MAX_SQUARINGS = 48  # covers ||A|| up to theta13 * 2^48
+MAX_SQUARINGS = 32  # covers ||A|| up to theta13 * 2^32 ~ 2.3e10
 
 
-def expm(a, max_squarings=MAX_SQUARINGS):
-    """Matrix exponential of (..., n, n) with per-element scaling."""
+def eye_ml(n, batch_ndim, dtype=jnp.float32):
+    """Identity in matrix-leading layout, broadcastable over the batch."""
+    return jnp.eye(n, dtype=dtype).reshape(n, n, *([1] * batch_ndim))
+
+
+def matmul_ml(a, b):
+    """(i, j, ...) @ (j, k, ...) -> (i, k, ...)."""
+    return jnp.einsum("ij...,jk...->ik...", a, b)
+
+
+def solve_ml(a, b):
+    """Solve a @ x = b with a (n, n, ...), b (n, m, ...) -> x (n, m, ...).
+
+    Unrolled Gaussian elimination with partial pivoting; all arithmetic is
+    elementwise over the batch dims (n, m are small and static).
+    """
+    n = a.shape[0]
+    m = b.shape[1]
+    # rows[i] : (n + m, ...) augmented row
+    rows = [
+        jnp.concatenate([a[i], b[i]], axis=0) for i in range(n)
+    ]
+    for col in range(n):
+        # partial pivot among rows col..n-1 (unrolled select)
+        mags = jnp.stack(
+            [jnp.abs(rows[r][col]) for r in range(col, n)]
+        )  # (n-col, ...)
+        piv = jnp.argmax(mags, axis=0)  # (...,)
+        pivot_row = rows[col]
+        for off in range(1, n - col):
+            pivot_row = jnp.where(
+                piv[None] == off, rows[col + off], pivot_row
+            )
+        new_rows = list(rows)
+        new_rows[col] = pivot_row
+        for off in range(1, n - col):
+            new_rows[col + off] = jnp.where(
+                piv[None] == off, rows[col], rows[col + off]
+            )
+        rows = new_rows
+        # eliminate below the pivot
+        inv_p = 1.0 / rows[col][col]  # (...,)
+        for r in range(col + 1, n):
+            factor = (rows[r][col] * inv_p)[None]
+            rows[r] = rows[r] - factor * rows[col]
+    # back substitution
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = rows[i][n:]  # (m, ...)
+        for j in range(i + 1, n):
+            acc = acc - rows[i][j][None] * x[j]
+        x[i] = acc / rows[i][i][None]
+    return jnp.stack(x)  # (n, m, ...)
+
+
+def expm_ml(a, max_squarings=MAX_SQUARINGS):
+    """Matrix exponential of (n, n, batch...) in matrix-leading layout."""
     dtype = a.dtype
-    n = a.shape[-1]
-    eye = jnp.eye(n, dtype=dtype)
+    n = a.shape[0]
+    batch_ndim = a.ndim - 2
+    eye = eye_ml(n, batch_ndim, dtype)
 
-    # per-element 1-norm (max abs column sum)
-    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)  # (...)
+    # per-element 1-norm (max abs column sum): sum rows, max cols
+    norm = jnp.max(jnp.sum(jnp.abs(a), axis=0), axis=0)  # (...)
     norm = jnp.maximum(norm, jnp.finfo(dtype).tiny)
     s = jnp.ceil(jnp.log2(norm / _THETA13))
     s = jnp.clip(s, 0, max_squarings).astype(jnp.int32)
     s = jax.lax.stop_gradient(s)
-    scale = jnp.exp2(-s.astype(dtype))[..., None, None]
-    a = a * scale
+    a = a * jnp.exp2(-s.astype(dtype))[None, None]
 
     b = _PADE13_B
-    a2 = a @ a
-    a4 = a2 @ a2
-    a6 = a2 @ a4
-    u = a @ (
-        a6 @ (b[13] * a6 + b[11] * a4 + b[9] * a2)
+    a2 = matmul_ml(a, a)
+    a4 = matmul_ml(a2, a2)
+    a6 = matmul_ml(a2, a4)
+    u = matmul_ml(a, (
+        matmul_ml(a6, b[13] * a6 + b[11] * a4 + b[9] * a2)
         + b[7] * a6 + b[5] * a4 + b[3] * a2 + b[1] * eye
-    )
+    ))
     v = (
-        a6 @ (b[12] * a6 + b[10] * a4 + b[8] * a2)
+        matmul_ml(a6, b[12] * a6 + b[10] * a4 + b[8] * a2)
         + b[6] * a6 + b[4] * a4 + b[2] * a2 + b[0] * eye
     )
-    phi = jnp.linalg.solve(v - u, v + u)
+    phi = solve_ml(v - u, v + u)
 
     def body(i, phi):
-        do_square = (i < s)[..., None, None]
-        return jnp.where(do_square, phi @ phi, phi)
+        do_square = (i < s)[None, None]
+        return jnp.where(do_square, matmul_ml(phi, phi), phi)
 
     return jax.lax.fori_loop(0, max_squarings, body, phi)
+
+
+def expm(a, max_squarings=MAX_SQUARINGS):
+    """Matrix exponential of (..., n, n); thin wrapper over expm_ml."""
+    a_ml = jnp.moveaxis(a, (-2, -1), (0, 1))
+    out = expm_ml(a_ml, max_squarings)
+    return jnp.moveaxis(out, (0, 1), (-2, -1))

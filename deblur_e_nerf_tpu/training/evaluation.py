@@ -153,7 +153,8 @@ class Evaluator:
 
     def epoch_end(self, outputs, min_normalized_pixel_value,
                   max_normalized_pixel_value, epoch=0,
-                  sanity_checking=False, lpips_net="alex"):
+                  sanity_checking=False, lpips_net="alex", writer=None,
+                  stage="val", global_step=0):
         """Full epoch-end pipeline; `outputs` is a list of dicts with
         sample_id, pred_intensity_img, target_intensity_img,
         exposure_time, gain (host numpy). Returns metrics dict."""
@@ -238,6 +239,28 @@ class Evaluator:
             k: float(np.mean([m[k] for m in per_image]))
             for k in per_image[0]
         }
+
+        if writer is not None:
+            # TensorBoard image logs: predictions every eval epoch,
+            # targets once (reference: deblur_e_nerf.py:985-1005)
+            rng = max_normalized_pixel_value - min_normalized_pixel_value
+            for sid, img in zip(sample_ids, pred_img):
+                writer.add_image(
+                    f"{stage}/pred/{sid}",
+                    np.clip((img - min_normalized_pixel_value) / rng,
+                            0, 1),
+                    global_step,
+                )
+            if epoch == 0:
+                for sid, img in zip(sample_ids, target_img):
+                    writer.add_image(
+                        f"{stage}/target/{sid}",
+                        np.clip(
+                            (img - min_normalized_pixel_value) / rng,
+                            0, 1,
+                        ),
+                        global_step,
+                    )
 
         if self.save_pred and self.log_dir is not None:
             self._save_predictions(

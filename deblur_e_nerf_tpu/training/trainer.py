@@ -155,7 +155,7 @@ class Trainer:
         if self.writer is not None and np.isfinite(value):
             self.writer.add_scalar(name, value, step)
 
-    def train(self, on_epoch_end=None):
+    def train(self, on_epoch_end=None, start_epoch=0):
         key = jax.random.PRNGKey(int(self.config.get("seed") or 0))
         occ_n = int(self.bundle.model.occ_grid_config.n)
         t_start = time.time()
@@ -163,7 +163,7 @@ class Trainer:
         # the reference exposes Lightning's profiler kwarg the same way —
         # SURVEY.md §5.1)
         profile_steps = self.config.trainer.get("profile_steps")
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             for i in range(self.steps_per_epoch):
                 if profile_steps \
                         and self.global_step == int(profile_steps[0]):
@@ -235,19 +235,64 @@ class Trainer:
                 )
 
     def save_checkpoint(self, epoch):
+        # hyperparameters ride with the checkpoints (the reference stores
+        # them via save_hyperparameters; reference: deblur_e_nerf.py:200-212)
+        config_path = os.path.join(
+            self.log_dir, "checkpoints", "config.yaml"
+        )
+        if not os.path.isfile(config_path):
+            os.makedirs(os.path.dirname(config_path), exist_ok=True)
+            from ..utils.config import save_config
+            save_config(self.config, config_path)
         path = os.path.join(
             self.log_dir, "checkpoints", f"epoch_{epoch:04d}"
         )
         checkpoint_lib.save(path, {
             "params": jax.tree_util.tree_map(np.asarray,
                                              self.state.params),
+            "opt_state": jax.tree_util.tree_map(
+                np.asarray, self.state.opt_state
+            ),
             "occ_state": {
                 "occs": np.asarray(self.state.occ_state.occs),
                 "binary": np.asarray(self.state.occ_state.binary),
             },
             "step": int(self.state.step),
             "epoch": epoch,
+            "global_step": self.global_step,
         })
+
+    def resume(self, path):
+        """Full crash-resume: params + optimizer + occupancy + counters
+        (reference: Lightning resume_from_checkpoint,
+        configs/train/synthetic.yaml trainer comment)."""
+        restored = checkpoint_lib.restore(path, target={
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "occ_state": {
+                "occs": self.state.occ_state.occs,
+                "binary": self.state.occ_state.binary,
+            },
+            "step": 0,
+            "epoch": 0,
+            "global_step": 0,
+        })
+        occ = self.state.occ_state._replace(
+            occs=jnp.asarray(restored["occ_state"]["occs"]),
+            binary=jnp.asarray(restored["occ_state"]["binary"]),
+        )
+        self.state = step_lib.TrainState(
+            params=jax.tree_util.tree_map(
+                jnp.asarray, restored["params"]
+            ),
+            opt_state=jax.tree_util.tree_map(
+                jnp.asarray, restored["opt_state"]
+            ),
+            occ_state=occ,
+            step=jnp.asarray(int(restored["step"]), jnp.int32),
+        )
+        self.global_step = int(restored["global_step"])
+        return int(restored["epoch"])
 
     # ------------------------------------------------------------------
     def build_evaluator(self, stage="val"):
@@ -313,6 +358,8 @@ class Trainer:
             outputs, dataset.min_normalized_pixel_value,
             dataset.max_normalized_pixel_value, epoch=epoch,
             lpips_net=str(self.config.metric.lpips_net),
+            writer=self.writer, stage=stage,
+            global_step=self.global_step,
         )
         for name, value in metric.items():
             self.log_scalar(f"{stage}/{name}", value, self.global_step)

@@ -49,6 +49,16 @@ def main():
     config = load_config(args.config)
     config.git_head_hash = git_head_hash()
 
+    # reference: torch.set_float32_matmul_precision(config.float32_...)
+    precision = config.get("float32_matmul_precision")
+    if precision is not None:
+        import jax
+        jax.config.update("jax_default_matmul_precision", {
+            "highest": "float32",
+            "high": "bfloat16_3x",
+            "medium": "bfloat16",
+        }[str(precision)])
+
     log_dir = args.log_dir
     if log_dir is None:
         base = config.logger.get("save_dir", "./logs")
@@ -65,6 +75,12 @@ def main():
         field_chunk=args.field_chunk,
     )
 
+    start_epoch = 0
+    resume_path = config.trainer.get("resume_from_checkpoint")
+    if resume_path:
+        start_epoch = trainer.resume(resume_path) + 1
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
+
     if args.stage == "train":
         def on_epoch_end(tr, epoch):
             if (epoch + 1) % int(
@@ -75,7 +91,9 @@ def main():
                 )
                 print(f"epoch {epoch}: val {metric}")
 
-        elapsed = trainer.train(on_epoch_end=on_epoch_end)
+        elapsed = trainer.train(
+            on_epoch_end=on_epoch_end, start_epoch=start_epoch
+        )
         print(f"training finished in {elapsed:.1f}s")
     else:
         metric = trainer.evaluate(
