@@ -52,17 +52,12 @@ def test_trainer_resume_roundtrip(tmp_path):
     assert last_epoch == 0
     assert tr2.global_step == 2
     assert int(tr2.state.step) == 2
+    import jax
     for a, b in zip(
-        np.asarray(trained_params["nerf"]["field"]["hash_table"]
-                   if "hash_table" in trained_params["nerf"]["field"]
-                   else list(trained_params["nerf"]["field"].values())[0]
-                   ).ravel()[:8],
-        np.asarray(tr2.state.params["nerf"]["field"]["hash_table"]
-                   if "hash_table" in tr2.state.params["nerf"]["field"]
-                   else list(tr2.state.params["nerf"]["field"].values())[0]
-                   ).ravel()[:8],
+        jax.tree_util.tree_leaves(trained_params["nerf"]),
+        jax.tree_util.tree_leaves(tr2.state.params["nerf"]),
     ):
-        assert a == b
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # resumed training continues without error
     tr2.train(start_epoch=last_epoch + 1)  # no epochs left: no-op
