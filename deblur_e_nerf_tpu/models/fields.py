@@ -184,7 +184,11 @@ class NGPField(nn.Module):
 
     def density(self, x, return_feat=False):
         u, selector = self._contract(x)
-        feat = hash_encoding.encode(self.table, u, self.levels)
+        # sample positions are stop-gradiented in the render path, so the
+        # fast frozen-position table-gradient path applies
+        feat = hash_encoding.encode(
+            self.table, u, self.levels, differentiable_positions=False
+        )
         h = self.mlp_base(feat)
         raw_density, geo_feat = h[..., :1], h[..., 1:]
         density = (

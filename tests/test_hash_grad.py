@@ -1,0 +1,62 @@
+"""Hash-encoding custom-VJP table gradient vs autodiff reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deblur_e_nerf_tpu.models import hash_encoding
+
+
+@pytest.fixture(scope="module")
+def setup():
+    levels, total = hash_encoding.grid_layout("HashGrid", 4, 4, 1.5, 8)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (total, 2), jnp.float32) * 0.1
+    u = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    return levels, table, u
+
+
+def test_forward_paths_agree(setup):
+    levels, table, u = setup
+    a = hash_encoding.encode(table, u, levels,
+                             differentiable_positions=True)
+    b = hash_encoding.encode(table, u, levels,
+                             differentiable_positions=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_table_gradient_matches_autodiff(setup):
+    levels, table, u = setup
+    cotangent = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (257, len(levels) * 2), jnp.float32,
+    )
+
+    def loss_ref(t):
+        out = hash_encoding.encode(t, u, levels,
+                                   differentiable_positions=True)
+        return jnp.sum(out * cotangent)
+
+    def loss_fast(t):
+        out = hash_encoding.encode(t, u, levels,
+                                   differentiable_positions=False)
+        return jnp.sum(out * cotangent)
+
+    g_ref = jax.grad(loss_ref)(table)
+    g_fast = jax.grad(loss_fast)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_position_cotangent_is_zero_in_frozen_mode(setup):
+    levels, table, u = setup
+
+    def loss(uu):
+        out = hash_encoding.encode(table, uu, levels,
+                                   differentiable_positions=False)
+        return jnp.sum(out)
+
+    g_u = jax.grad(loss)(u)
+    np.testing.assert_array_equal(np.asarray(g_u), 0.0)
