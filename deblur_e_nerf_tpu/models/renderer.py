@@ -5,13 +5,16 @@ TPU-native replacement for nerfacc's `ray_marching` + `rendering` CUDA path
 nerfacc emits variable-length packed samples; XLA needs static shapes, so the
 design here is:
 
-1. March (no gradients): rays are processed in fixed-size chunks under a
-   `lax.scan`. For every ray a closed-form step sequence (uniform steps,
+1. March (no gradients): a closed-form step timeline (uniform steps,
    switching to geometric growth under cone-angle stepping) is intersected
-   with the scene AABB / near-far planes and the occupancy grid; surviving
-   samples are compacted into a flat, ray-major sample buffer of static
-   budget K via cumsum-indexed scatters. The result is the nerfacc "packed
-   samples" layout — (t_mid, dt, ray_idx) — but with a fixed capacity.
+   with the scene AABB / near-far planes and the occupancy grid, then
+   compacted in two stages (coarse 8-step blocks on a dilated mask, exact
+   per-sample tests on survivors) into a flat, ray-major sample buffer of
+   static budget K. Only packed integer (ray, step) codes are scattered —
+   single-channel, provably-unique indices, the one scatter shape the TPU
+   executes at speed — and sample t/dt are re-derived analytically. The
+   result is the nerfacc "packed samples" layout — (t_mid, dt, ray_idx) —
+   but with a fixed capacity.
 2. Field evaluation runs once on the compacted buffer (dense MXU matmuls,
    zero padding waste up to the budget tail). Unlike the reference there is
    no separate density pre-pass: occupancy already pruned empty space, and
