@@ -31,7 +31,8 @@ N_SLICES = 4                # interval endpoints rendered per step
 S = 30                      # pixel-bandwidth intensity samples
 SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
 MARCH_CHUNK = 4096
-FIELD_CHUNK = 1 << 19       # remat chunks for field eval (bounds activations)
+FIELD_CHUNK = 0             # no field remat: activations fit at this K, and
+                            # rematerializing would re-run the hash gathers
 WARMUP_STEPS = 2
 TIMED_STEPS = 10
 
