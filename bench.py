@@ -69,7 +69,7 @@ def main():
         field_chunk=FIELD_CHUNK,
     )
     sc = bundle.static_config
-    tx, _ = optim.build(
+    tx, trainable_mask = optim.build(
         params, config.optimizer, config.lr_scheduler,
         float(config.loss.weight.nerf_mlp_weight_decay),
         float(bundle.consts["refractory_period"]
@@ -104,6 +104,7 @@ def main():
     )
     step_fn = jax.jit(step_lib.make_train_step(
         bundle.model, bundle.consts, tx, sc, bundle.loss_config,
+        trainable_mask=trainable_mask,
     ))
 
     events = events_data.EventDataset(root).events

@@ -3,10 +3,16 @@
 Writes the same on-disk layout the ESIM preprocessor produces
 (reference: scripts/preprocess_esim.py:439-456): raw_events.npz,
 camera_calibration.npz, camera_poses.npz, renderer_params.npz and a
-views/transforms_*.json + image folder. Events are generated from an
-analytic scene (log-intensity of a textured sphere under an orbiting
-camera) so training has real structure to fit; for pure throughput
-benchmarking the event content only needs plausible statistics.
+views/transforms_*.json + image folder.
+
+Two event generators:
+  - `simulate_events=True` (default): an ideal event-camera simulation —
+    per-pixel log-intensity threshold crossings of the analytic scene
+    under the orbiting camera, with linearly interpolated crossing
+    timestamps (ESIM's core algorithm). Training on these events
+    reconstructs the actual scene, so PSNR/SSIM convergence is meaningful.
+  - `simulate_events=False`: random events with plausible statistics, for
+    pure-throughput benchmarking with a fixed workload.
 """
 
 import json
@@ -36,10 +42,81 @@ def orbit_poses(n, radius=3.0, height=0.8, t_end_ns=2_000_000_000):
     return pos, quat, R, ts
 
 
+def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
+                          contrast_threshold, log_eps=1e-3,
+                          num_frames=None):
+    """Ideal event-camera simulation against the analytic scene.
+
+    Renders the scene along the (slerped-as-sampled) pose timeline and
+    emits per-pixel log-intensity threshold crossings with linearly
+    interpolated timestamps (the ESIM event-generation core).
+    Returns (positions (N,2) u16, timestamps (N,) i64 sorted, polarities).
+    """
+    num_frames = num_frames or len(pose_ts)
+    frame_idx = np.linspace(0, len(pose_ts) - 1, num_frames)
+    positions, timestamps, polarities = [], [], []
+    ys, xs = np.mgrid[0:H, 0:W]
+    flat_x = xs.reshape(-1).astype(np.uint16)
+    flat_y = ys.reshape(-1).astype(np.uint16)
+
+    i0 = int(frame_idx[0])
+    ref_log = np.log(
+        analytic_image_fn(R[i0], pos_w[i0]) + log_eps
+    ).reshape(-1)
+    prev_log = ref_log.copy()
+    prev_ts = float(pose_ts[i0])
+    C = contrast_threshold
+
+    for fi in frame_idx[1:]:
+        i = int(round(fi))
+        cur_log = np.log(
+            analytic_image_fn(R[i], pos_w[i]) + log_eps
+        ).reshape(-1)
+        cur_ts = float(pose_ts[i])
+        if cur_ts <= prev_ts:
+            continue
+        # number of threshold crossings since the reference level
+        delta = cur_log - ref_log
+        n_events = np.floor(np.abs(delta) / C).astype(np.int64)
+        max_n = int(n_events.max()) if len(n_events) else 0
+        for k in range(1, max_n + 1):
+            fire = n_events >= k
+            if not np.any(fire):
+                break
+            pol = delta[fire] > 0
+            # linear-interp crossing time within [prev_ts, cur_ts]
+            level = ref_log[fire] + np.where(pol, k * C, -k * C)
+            slope = cur_log[fire] - prev_log[fire]
+            frac = np.where(
+                np.abs(slope) > 1e-12,
+                np.clip((level - prev_log[fire]) / np.where(
+                    np.abs(slope) > 1e-12, slope, 1.0), 0.0, 1.0),
+                0.5,
+            )
+            ts = (prev_ts + frac * (cur_ts - prev_ts)).astype(np.int64)
+            positions.append(
+                np.stack([flat_x[fire], flat_y[fire]], axis=1)
+            )
+            timestamps.append(ts)
+            polarities.append(pol)
+        ref_log = ref_log + np.sign(delta) * n_events * C
+        prev_log = cur_log
+        prev_ts = cur_ts
+
+    if not positions:
+        return (np.zeros((0, 2), np.uint16), np.zeros(0, np.int64),
+                np.zeros(0, bool))
+    positions = np.concatenate(positions)
+    timestamps = np.concatenate(timestamps)
+    polarities = np.concatenate(polarities)
+    order = np.argsort(timestamps, kind="stable")
+    return positions[order], timestamps[order], polarities[order]
+
+
 def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
                  num_poses=61, bayer=False, seed=0,
                  contrast_threshold=0.25, refractory_ns=100,
-                 num_views=4):
+                 num_views=4, simulate_events=True, num_frames=None):
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, W = img_height, img_width
@@ -78,15 +155,48 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
         interm_color_space="linear", log_eps=np.asarray(1e-3),
     )
 
-    # events: random pixels, ordered timestamps, correlated polarities
-    positions = np.stack(
-        [rng.integers(0, W, num_events),
-         rng.integers(0, H, num_events)], axis=1
-    ).astype(np.uint16)
-    timestamps = np.sort(
-        rng.integers(0, pose_ts[-1], num_events)
-    ).astype(np.int64)
-    polarities = rng.integers(0, 2, num_events).astype(bool)
+    def analytic_image(R_wc, p_wc):
+        """Ray-traced textured unit sphere at the origin: a genuine 3D
+        scene (view-independent radiance), so NeRF reconstruction from
+        the simulated events is well-posed."""
+        ys, xs = np.mgrid[0:H, 0:W]
+        pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(
+            np.float64
+        )
+        d = (np.linalg.inv(K) @ pix[..., None])[..., 0]
+        d = (R_wc @ d[..., None])[..., 0]
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = p_wc.astype(np.float64)
+        b = d @ o
+        c = float(o @ o) - 1.0
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit &= t > 0
+        p = o[None, None, :] + d * t[..., None]
+        tex = (
+            0.5
+            + 0.2 * np.sin(6.0 * p[..., 0]) * np.sin(6.0 * p[..., 1])
+            + 0.15 * np.sin(4.0 * p[..., 2])
+        )
+        img = np.where(hit, tex, 0.15)
+        return img.astype(np.float32)
+
+    if simulate_events:
+        positions, timestamps, polarities = simulate_event_stream(
+            analytic_image, R, pos_w, pose_ts, H, W,
+            contrast_threshold, num_frames=num_frames or num_poses,
+        )
+    else:
+        # random events with plausible statistics (fixed bench workload)
+        positions = np.stack(
+            [rng.integers(0, W, num_events),
+             rng.integers(0, H, num_events)], axis=1
+        ).astype(np.uint16)
+        timestamps = np.sort(
+            rng.integers(0, pose_ts[-1], num_events)
+        ).astype(np.int64)
+        polarities = rng.integers(0, 2, num_events).astype(bool)
     np.savez(
         os.path.join(root, "raw_events.npz"),
         position=positions, timestamp=timestamps, polarity=polarities,
@@ -95,19 +205,6 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
     # posed views: analytic-intensity renders at a few orbit poses
     views_dir = os.path.join(root, "views")
     os.makedirs(views_dir, exist_ok=True)
-
-    def analytic_image(R_wc, p_wc):
-        ys, xs = np.mgrid[0:H, 0:W]
-        pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(
-            np.float64
-        )
-        d = (np.linalg.inv(K) @ pix[..., None])[..., 0]
-        d = (R_wc @ d[..., None])[..., 0]
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        # shade by direction toward origin: smooth positive intensity
-        to_origin = -p_wc / np.linalg.norm(p_wc)
-        i = 0.2 + 0.8 * np.clip(d @ to_origin, 0, 1) ** 2
-        return i.astype(np.float32)
 
     for stage, indices in (
         ("train", range(0, min(num_views, num_poses))),

@@ -304,14 +304,25 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
     return total, metrics
 
 
-def make_train_step(model, consts, tx, sc, loss_config):
+def make_train_step(model, consts, tx, sc, loss_config,
+                    trainable_mask=None):
     """Build the jitted train step closure.
 
+    Args:
+        trainable_mask: optional pytree of bools matching params; leaves
+            marked False are stop-gradiented inside the loss so XLA prunes
+            their backward entirely (the optimizer's freeze mask alone
+            still *computes* the dead gradients).
     Returns step_fn(state: TrainState, batch, key) -> (TrainState, metrics).
     """
 
     def step_fn(state, batch, key):
         def loss_fn(params):
+            if trainable_mask is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p, t: p if t else jax.lax.stop_gradient(p),
+                    params, trainable_mask,
+                )
             return compute_loss(
                 model, params, consts, state.occ_state, batch, key, sc,
                 loss_config,

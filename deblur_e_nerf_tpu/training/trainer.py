@@ -105,6 +105,7 @@ class Trainer:
         self.step_fn = jax.jit(step_lib.make_train_step(
             self.bundle.model, self.bundle.consts, self.tx,
             self.bundle.static_config, self.bundle.loss_config,
+            trainable_mask=self.trainable_mask,
         ))
         self.occ_update_fn = jax.jit(
             lambda params, occ_state, key, step:
