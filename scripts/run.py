@@ -44,7 +44,16 @@ def main():
     parser.add_argument("--sample-budget", type=int, default=None)
     parser.add_argument("--field-chunk", type=int, default=0)
     parser.add_argument("--max-eval-images", type=int, default=None)
+    parser.add_argument(
+        "--platform", default=None,
+        help=("force a jax platform (e.g. 'cpu'); needed where a "
+              "site hook pre-selects an accelerator backend"),
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     config = load_config(args.config)
     config.git_head_hash = git_head_hash()
