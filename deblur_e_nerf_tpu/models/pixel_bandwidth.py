@@ -44,9 +44,14 @@ NS_TO_S = 1e-9
 
 
 class ResetState(NamedTuple):
-    """Differencing-amp reset state, produced by the reset_diff render."""
+    """Differencing-amp reset state, produced by the reset_diff render.
+
+    Timestamps are split (int64 base, float32 differentiable delta); see
+    models/trajectory.py for why float64 device math is unusable here.
+    """
     reset_delta_log_it: jnp.ndarray  # (N,) float32
-    reset_ts: jnp.ndarray            # (N,) float64 ns
+    reset_ts: jnp.ndarray            # (N,) int64 ns base
+    reset_ts_delta: jnp.ndarray      # (N,) float32 ns offset
 
 
 def init_pixel_bandwidth(camera_calibration, min_ts, f_c_dominant_min,
@@ -73,7 +78,7 @@ def init_pixel_bandwidth(camera_calibration, min_ts, f_c_dominant_min,
     }
     consts = {
         "tau_in_it_eff_prod": jnp.asarray(tau_in_prod, jnp.float32),
-        "min_ts": jnp.asarray(min_ts, jnp.float64),
+        "min_ts": jnp.asarray(min_ts, jnp.int64),
         "omega_c_dominant_min": jnp.asarray(
             2 * math.pi * f_c_dominant_min, jnp.float64
         ),  # rad/s
@@ -212,17 +217,29 @@ def discretized_sys_to_weight(sysd):
     return jnp.moveaxis(weight, (1, 2), (-2, -1))  # (S, ..., o, m)
 
 
-def sample_lifetimes(params, consts, normalized_interval_gen, output_ts):
-    """Importance-sample input timestamps backwards from the output ts via
-    the exponential-distribution inverse-CDF over sample lifetimes
+def split_time(base, delta):
+    """Renormalize a split timestamp: move the integer part of `delta`
+    into the int64 `base` with a straight-through gradient, leaving a
+    sub-nanosecond float32 remainder (full d/d(delta) preserved)."""
+    r = jnp.round(delta)
+    return (
+        base + r.astype(jnp.int64),
+        delta - jax.lax.stop_gradient(r),
+    )
+
+
+def sample_lifetimes(params, consts, normalized_interval_gen):
+    """Importance-sample input-sample lifetimes (ns BEFORE the output
+    timestamp) via the exponential-distribution inverse-CDF
     (reference: pixel_bandwidth.py:298-367). No gradients flow through the
-    lifetimes (stop_gradient), matching the reference's no_grad block."""
+    lifetimes (stop_gradient), matching the reference's no_grad block.
+    Returns (S, ...) float32 lifetimes, descending to 0 at the output."""
     S = normalized_interval_gen.shape[0] + 1
     batch_shape = normalized_interval_gen.shape[1:]
 
-    boundary = jnp.linspace(1.0, 0.0, S, dtype=jnp.float64)
+    boundary = jnp.linspace(1.0, 0.0, S, dtype=jnp.float32)
     boundary = boundary.reshape(-1, *([1] * len(batch_shape)))
-    gen = normalized_interval_gen.astype(jnp.float64)
+    gen = normalized_interval_gen.astype(jnp.float32)
     interval = boundary[:-1] + gen * (boundary[1:] - boundary[:-1])
 
     mid = 0.5 * (interval[:-1] + interval[1:])  # (S-2, ...)
@@ -230,14 +247,11 @@ def sample_lifetimes(params, consts, normalized_interval_gen, output_ts):
     zeros = jnp.zeros_like(ones)
     normalized_lifetime = jnp.concatenate([ones, mid, zeros], axis=0)
 
-    rate = NS_TO_S * consts["omega_c_dominant_min"]  # rad/ns
-    p = consts["target_cumprob_max_sample_lifetime"] \
+    rate = NS_TO_S * consts["omega_c_dominant_min"].astype(jnp.float32)
+    p = consts["target_cumprob_max_sample_lifetime"].astype(jnp.float32) \
         * normalized_lifetime
     lifetime = -jnp.log1p(-p) / rate  # exponential ICDF, in ns
-    lifetime = jax.lax.stop_gradient(lifetime)
-
-    sample_ts = output_ts.astype(jnp.float64) - lifetime  # (S, ...)
-    return sample_ts
+    return jax.lax.stop_gradient(lifetime)
 
 
 @functools.partial(jax.checkpoint, static_argnums=(0,))
@@ -269,8 +283,8 @@ def intensity_sample_to_weight(params, consts, intensity_sample,
 
 
 def weighted_samples_to_output_log_it(params, weight, intensity_sample,
-                                      last_sample_ts, reset_state,
-                                      reset_diff=False):
+                                      last_sample_ts, last_sample_delta,
+                                      reset_state, reset_diff=False):
     """Weight-normalized log-intensity synthesis + differencing-amp reset
     (reference: pixel_bandwidth.py:398-448). Returns
     (output_log_intensity, new_reset_state)."""
@@ -286,23 +300,49 @@ def weighted_samples_to_output_log_it(params, weight, intensity_sample,
         diff_log_it_bfr_reset = out[..., 1]
         new_state = ResetState(
             reset_delta_log_it=diff_log_it_bfr_reset - sf_log_it,
-            reset_ts=last_sample_ts.astype(jnp.float64),
+            reset_ts=last_sample_ts,
+            reset_ts_delta=last_sample_delta,
         )
         # resetting pins the diff-amp output to its input (sf output)
         return sf_log_it, new_state
 
     diff_log_it_bfr_reset = out[..., 0]
     reset_dt = (
-        last_sample_ts.astype(jnp.float64) - reset_state.reset_ts
-    ).astype(out.dtype)
+        (last_sample_ts - reset_state.reset_ts).astype(out.dtype)
+        + (last_sample_delta - reset_state.reset_ts_delta)
+    )
     decayed = reset_state.reset_delta_log_it * jnp.exp(
         -omega_c_diff * (NS_TO_S * reset_dt)
     )
     return diff_log_it_bfr_reset - decayed, reset_state
 
 
+def _sample_times(params, consts, normalized_interval_gen, output_ts,
+                  output_ts_delta):
+    """Split sample timestamps (S, ...) from lifetimes, clamped to the
+    dataset start (reference min-ts clamp)."""
+    lifetime = sample_lifetimes(params, consts, normalized_interval_gen)
+    base, delta = split_time(
+        jnp.broadcast_to(output_ts, lifetime.shape),
+        output_ts_delta - lifetime,
+    )
+    min_ts = consts["min_ts"]
+    rel = (base - min_ts).astype(jnp.float32) + delta
+    below = rel < 0
+    base = jnp.where(below, min_ts, base)
+    delta = jnp.where(below, 0.0, delta)
+    # exact split-time differences; FOH needs dt > 0, so clamped-equal
+    # consecutive samples get a vanishing-but-positive step
+    dt = (
+        (base[1:] - base[:-1]).astype(jnp.float32)
+        + (delta[1:] - delta[:-1])
+    )
+    dt = jnp.maximum(dt, 1e-6)
+    return base, delta, dt
+
+
 def forward_fused(params, consts, normalized_interval_gen, output_ts,
-                  intensity_sampling_fn, slice_size):
+                  output_ts_delta, intensity_sampling_fn, slice_size):
     """Single-render pixel-bandwidth pass over a whole training step.
 
     The reference runs four sequential renders per step (diff start/end,
@@ -317,23 +357,23 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
 
     Args:
         normalized_interval_gen: (S-1, R*N) in [0, 1].
-        output_ts: (R*N,) ns — R slices of N events each.
+        output_ts: (R*N,) int64 ns — R slices of N events each.
+        output_ts_delta: (R*N,) float32 differentiable offset.
         slice_size: N.
     Returns:
         (output_log_intensity (R*N,), aux_outputs, ResetState)
     """
-    sample_ts = sample_lifetimes(
-        params, consts, normalized_interval_gen, output_ts
+    output_ts_delta = jnp.broadcast_to(
+        jnp.asarray(output_ts_delta, jnp.float32), output_ts.shape
     )
-    sampling_output = intensity_sampling_fn(
-        jnp.maximum(sample_ts, consts["min_ts"])
+    sample_base, sample_delta, sample_dt = _sample_times(
+        params, consts, normalized_interval_gen, output_ts,
+        output_ts_delta,
     )
+    sampling_output = intensity_sampling_fn(sample_base, sample_delta)
     intensity_sample = sampling_output[0]
     aux = sampling_output[1:]
 
-    sample_dt = jnp.diff(sample_ts, axis=0).astype(
-        intensity_sample.dtype
-    )
     weight = intensity_sample_to_weight(
         params, consts, intensity_sample, sample_dt,
         output_sf_log_it=True,
@@ -347,13 +387,15 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
     n = slice_size
     n_slices = out.shape[0] // n
     reset_delta = diff_log_it_bfr_reset[:n] - sf_log_it[:n]
-    reset_ts = output_ts[:n].astype(jnp.float64)
+    reset_base = output_ts[:n]
+    reset_ts_delta = output_ts_delta[:n]
 
     eff = effective_params(params)
     omega_c_diff = 1.0 / eff["tau_diff"]
     reset_dt = (
-        output_ts.astype(jnp.float64) - jnp.tile(reset_ts, n_slices)
-    ).astype(out.dtype)
+        (output_ts - jnp.tile(reset_base, n_slices)).astype(jnp.float32)
+        + (output_ts_delta - jnp.tile(reset_ts_delta, n_slices))
+    )
     decayed = jnp.tile(reset_delta, n_slices) * jnp.exp(
         -omega_c_diff * (NS_TO_S * reset_dt)
     )
@@ -362,45 +404,51 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
         (diff_log_it_bfr_reset - decayed)[n:],         # consumers
     ])
     return out_all, aux, ResetState(
-        reset_delta_log_it=reset_delta, reset_ts=reset_ts
+        reset_delta_log_it=reset_delta, reset_ts=reset_base,
+        reset_ts_delta=reset_ts_delta,
     )
 
 
 def forward(params, consts, normalized_interval_gen, output_ts,
-            intensity_sampling_fn, reset_state=None, reset_diff=False):
+            intensity_sampling_fn, reset_state=None, reset_diff=False,
+            output_ts_delta=0.0):
     """Full pixel-bandwidth forward pass
     (reference: pixel_bandwidth.py:450-494).
 
     Args:
         normalized_interval_gen: (S-1, ...) in [0, 1].
-        output_ts: (...) int64/float64 ns.
-        intensity_sampling_fn: (S, ...) ns timestamps -> tuple whose first
-            element is the sampled intensity (S, ...); the rest are
-            auxiliary outputs passed through.
+        output_ts: (...) int64 ns (floats accepted, truncated to ns).
+        intensity_sampling_fn: (sample_ts (S, ...) int64 ns,
+            sample_ts_delta (S, ...) float32) -> tuple whose first element
+            is the sampled intensity (S, ...); the rest are auxiliary
+            outputs passed through.
         reset_state: ResetState from the reset_diff render of this step
             (required when reset_diff=False).
         reset_diff: produce (and return) a fresh ResetState.
+        output_ts_delta: float32 differentiable ns offset on output_ts.
     Returns:
         (output_log_intensity (...), aux_outputs, reset_state)
     """
-    sample_ts = sample_lifetimes(
-        params, consts, normalized_interval_gen, output_ts
+    output_ts = jnp.asarray(output_ts)
+    if not jnp.issubdtype(output_ts.dtype, jnp.integer):
+        output_ts = output_ts.astype(jnp.int64)
+    output_ts_delta = jnp.broadcast_to(
+        jnp.asarray(output_ts_delta, jnp.float32), output_ts.shape
     )
-    sampling_output = intensity_sampling_fn(
-        jnp.maximum(sample_ts, consts["min_ts"])
+    sample_base, sample_delta, sample_dt = _sample_times(
+        params, consts, normalized_interval_gen, output_ts,
+        output_ts_delta,
     )
+    sampling_output = intensity_sampling_fn(sample_base, sample_delta)
     intensity_sample = sampling_output[0]
     aux = sampling_output[1:]
 
-    sample_dt = jnp.diff(sample_ts, axis=0).astype(
-        intensity_sample.dtype
-    )
     weight = intensity_sample_to_weight(
         params, consts, intensity_sample, sample_dt,
         output_sf_log_it=reset_diff,
     )
     out_log_it, new_reset_state = weighted_samples_to_output_log_it(
-        params, weight, intensity_sample, output_ts, reset_state,
-        reset_diff,
+        params, weight, intensity_sample, output_ts, output_ts_delta,
+        reset_state, reset_diff,
     )
     return out_log_it, aux, new_reset_state

@@ -6,9 +6,14 @@ pose timeline, lerp positions, slerp orientations with full-angle rotation
 vectors and per-element steps
 (reference: deblur_e_nerf/utils/tensor_ops.py:118-184).
 
-Interpolation weights are computed in float64 (timestamps are int64 ns, and
-pose bins can span milliseconds — float32 weight math would quantize to
-~60 ns at 1 s timelines); positions/orientations are float32.
+Timestamps are int64 nanoseconds END TO END: the TPU backend's float64 is
+emulated with float32-precision multiplies (measured ~1.5e-5 relative
+error — tens of microseconds at second-scale timelines, enough to
+decorrelate event supervision), so interpolation uses exact int64
+searchsorted/subtraction and only converts the small within-bin remainder
+to float32. Differentiable sub-nanosecond offsets (learnable refractory
+shifts, sampled interval positions) ride in a separate float32 `delta`
+carried alongside the integer base (see training/step.py).
 """
 
 from typing import NamedTuple
@@ -24,7 +29,7 @@ class Trajectory(NamedTuple):
     T_wc_position: jnp.ndarray          # (C, 3) float32
     T_wc_orientation_quat: jnp.ndarray  # (C, 4) float32 XYZW
     T_wc_timestamp: jnp.ndarray         # (C,) int64 ns
-    bin_width: jnp.ndarray              # (C-1,) float64 ns
+    bin_width: jnp.ndarray              # (C-1,) float32 ns
 
 
 def make_trajectory(camera_poses):
@@ -38,22 +43,29 @@ def make_trajectory(camera_poses):
             camera_poses["T_wc_orientation"], dtype=jnp.float32
         ),
         T_wc_timestamp=jnp.asarray(ts),
-        bin_width=jnp.asarray(np.diff(ts).astype(np.float64)),
+        bin_width=jnp.asarray(np.diff(ts).astype(np.float32)),
     )
 
 
-def interpolate_pose(trajectory, timestamp):
+def interpolate_pose(trajectory, timestamp, timestamp_delta=None):
     """Interpolate camera pose at the given timestamps.
 
     Args:
         trajectory: Trajectory.
-        timestamp: (...,) int64/float64 ns, within the trajectory's range.
+        timestamp: (...,) int64 ns (floats accepted and truncated to ns),
+            within the trajectory's range.
+        timestamp_delta: optional (...,) float32 sub-nanosecond-scale
+            differentiable offset added to `timestamp` (carries gradients
+            for learnable time shifts; keep it small — it only enters the
+            float32 within-bin remainder).
     Returns:
         position: (..., 3) float32
         orientation: (..., 3, 3) float32 rotation matrices
     """
     ts_line = trajectory.T_wc_timestamp
     timestamp = jnp.asarray(timestamp)
+    if not jnp.issubdtype(timestamp.dtype, jnp.integer):
+        timestamp = timestamp.astype(ts_line.dtype)
     right = jnp.searchsorted(ts_line, timestamp)
     is_corner = timestamp == ts_line[0]
     left = jnp.where(is_corner, right, right - 1)
@@ -61,11 +73,12 @@ def interpolate_pose(trajectory, timestamp):
     left = jnp.clip(left, 0, ts_line.shape[0] - 1)
 
     t_left = ts_line[left]
-    weight64 = (
-        (timestamp - t_left).astype(jnp.float64)
-        / trajectory.bin_width[jnp.clip(left, 0, ts_line.shape[0] - 2)]
-    )
-    weight = weight64.astype(jnp.float32)
+    remainder = (timestamp - t_left).astype(jnp.float32)  # exact int math
+    if timestamp_delta is not None:
+        remainder = remainder + timestamp_delta
+    weight = remainder / trajectory.bin_width[
+        jnp.clip(left, 0, ts_line.shape[0] - 2)
+    ]
 
     p0 = trajectory.T_wc_position[left]
     p1 = trajectory.T_wc_position[right]

@@ -53,7 +53,8 @@ def compute(loss_config, event, diff, subdiff, mean_contrast_threshold):
     Args:
         loss_config: ConfigDict with error_fn/weight/normalize subtrees
             (reference YAML schema).
-        event: dict with log_intensity_diff, start_ts, end_ts (f64 ns).
+        event: dict with log_intensity_diff and dt (f32 ns effective
+            interval length, end - (start + tau)).
         diff: dict with log_intensity_diff, ts_diff, is_valid — or None.
         subdiff: dict with log_intensity_diff, is_valid — or None.
         mean_contrast_threshold: scalar.
@@ -63,9 +64,7 @@ def compute(loss_config, event, diff, subdiff, mean_contrast_threshold):
     out = {}
     log_intensity_grad = (
         event["log_intensity_diff"]
-        / (event["end_ts"] - event["start_ts"]).astype(
-            event["log_intensity_diff"].dtype
-        )
+        / event["dt"].astype(event["log_intensity_diff"].dtype)
     )
 
     if loss_config.weight.log_intensity_diff > 0:

@@ -13,7 +13,12 @@ function compiled once:
     fixed-capacity event batch with an active-prefix mask: the host chooses
     the active count from the psum'd samples-per-ray EMA; shapes never
     change, so the step compiles exactly once.
-  - Timestamp math is float64 (emulated, O(N) negligible); renders are f32.
+  - Timestamps are SPLIT: exact int64 ns bases + small float32
+    differentiable deltas (learnable refractory shift, sampled interval
+    offsets), renormalized with a straight-through round before use. The
+    reference's float64 timestamp math is unusable on TPU — the backend's
+    emulated f64 multiply is only f32-accurate (~1.5e-5), tens of
+    microseconds at second-scale timelines.
 
 Batch layout (all arrays capacity N = batch_capacity, prefix-active):
   position (N, 2) f32, start_ts (N,) i64, end_ts (N,) i64,
@@ -54,23 +59,34 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # () int32
 
 
-def derive_intervals(event_start_ts, event_end_ts, normalized,
+def derive_intervals(start_base, start_delta, end_base, normalized,
                      weight_diff, weight_tv):
-    """Supervision interval derivation (float64 ns)
-    (reference: deblur_e_nerf.py:419-455)."""
+    """Supervision interval derivation
+    (reference: deblur_e_nerf.py:419-455).
+
+    Timestamps are split (int64 base, float32 delta): all interval
+    endpoints share the event's int64 `start_base`, and the sampled
+    positions live in the float32 delta (relative quantities — exact
+    int64 differences cast to f32 — so device f32 math is precise; the
+    TPU backend's f64 multiply is only f32-accurate).
+
+    Returns (diff, subdiff) dicts with keys ts_diff (f32 ns length) and
+    start/end deltas relative to `start_base`.
+    """
+    gap = jnp.maximum(
+        (end_base - start_base).astype(jnp.float32) - start_delta, 0.0
+    )
     diff = None
     if weight_diff > 0:
-        ts_diff = (event_end_ts - event_start_ts) \
-            * normalized["ts_diff"]
-        start = event_start_ts + normalized["diff_start_ts"] * (
-            jnp.maximum(event_end_ts - ts_diff, event_start_ts)
-            - event_start_ts
-        )
-        end = jnp.minimum(start + ts_diff, event_end_ts)
-        diff = {"ts_diff": ts_diff, "start_ts": start, "end_ts": end}
+        ts_diff = gap * normalized["ts_diff"]
+        start = start_delta + normalized["diff_start_ts"] \
+            * jnp.maximum(gap - ts_diff, 0.0)
+        end = jnp.minimum(start + ts_diff, start_delta + gap)
+        diff = {"ts_diff": ts_diff, "start_delta": start,
+                "end_delta": end}
         tv_start, tv_end = start, end
     else:
-        tv_start, tv_end = event_start_ts, event_end_ts
+        tv_start, tv_end = start_delta, start_delta + gap
 
     subdiff = None
     if weight_tv > 0:
@@ -79,7 +95,8 @@ def derive_intervals(event_start_ts, event_end_ts, normalized,
             jnp.maximum(tv_end - ts_sub, tv_start) - tv_start
         )
         end = jnp.minimum(start + ts_sub, tv_end)
-        subdiff = {"ts_diff": ts_sub, "start_ts": start, "end_ts": end}
+        subdiff = {"ts_diff": ts_sub, "start_delta": start,
+                   "end_delta": end}
     return diff, subdiff
 
 
@@ -110,11 +127,11 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key):
     traj = consts["trajectory"]
     intrinsics_inv = consts["train_intrinsics_inv"]
 
-    def render_train_pixels(ts, pixel_position, channel_idx, valid,
-                            render_key):
-        # ts: ([S,] N) f64 ns; pixel_position (N, 2)
+    def render_train_pixels(ts, ts_delta, pixel_position, channel_idx,
+                            valid, render_key):
+        # ts: ([S,] N) int64 ns base; ts_delta f32 differentiable offset
         batch_shape = ts.shape
-        pos, orient = trajectory_lib.interpolate_pose(traj, ts)
+        pos, orient = trajectory_lib.interpolate_pose(traj, ts, ts_delta)
         pixel = jnp.broadcast_to(
             pixel_position, (*batch_shape, 2)
         ).astype(jnp.float32)
@@ -160,29 +177,32 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key):
 
 
 def render_log_intensity(model, params, consts, occ_state, sc, key,
-                         ts, pixel_position, channel_idx, valid,
-                         interval_gen, reset_state, reset_diff):
+                         ts, ts_delta, pixel_position, channel_idx,
+                         valid, interval_gen, reset_state, reset_diff):
     """Log-intensity at event pixels, optionally through the
-    pixel-bandwidth model (reference: deblur_e_nerf.py:1129-1160)."""
+    pixel-bandwidth model (reference: deblur_e_nerf.py:1129-1160).
+    `ts` is an int64 ns base, `ts_delta` a float32 offset."""
     render_train_pixels = make_render_train_pixels(
         model, params, consts, occ_state, sc, key
     )
     if sc.pixel_bandwidth_enabled:
-        def sampling_fn(sample_ts):
+        def sampling_fn(sample_ts, sample_ts_delta):
             return render_train_pixels(
-                sample_ts, pixel_position, channel_idx, valid, key
+                sample_ts, sample_ts_delta, pixel_position, channel_idx,
+                valid, key,
             )
 
         log_it, aux, new_reset_state = pixel_bandwidth.forward(
             params["pixel_bandwidth"], consts["pixel_bandwidth"],
             interval_gen, ts, sampling_fn,
             reset_state=reset_state, reset_diff=reset_diff,
+            output_ts_delta=ts_delta,
         )
         stats, is_valid = aux
         is_valid = jnp.any(is_valid, axis=0)
     else:
         intensity, stats, is_valid = render_train_pixels(
-            ts, pixel_position, channel_idx, valid, key
+            ts, ts_delta, pixel_position, channel_idx, valid, key
         )
         log_it = jnp.log(intensity)
         new_reset_state = reset_state
@@ -210,30 +230,38 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         batch["num_pos"].astype(jnp.float32),
         batch["num_neg"].astype(jnp.float32),
     )
-    start_ts = event_gen.apply_refractory_period(
-        params["refractory_period"], consts["refractory_period"],
-        batch["start_ts"].astype(jnp.float64),
-    )
-    end_ts = batch["end_ts"].astype(jnp.float64)
+    # split timestamps: exact int64 bases, learnable/sampled offsets in a
+    # float32 delta (the refractory shift tau is differentiable)
+    start_base = batch["start_ts"]
+    end_base = batch["end_ts"]
+    tau = event_gen.refractory_period(
+        params["refractory_period"], consts["refractory_period"]
+    ).astype(jnp.float32)
+    start_delta = jnp.broadcast_to(tau, start_base.shape)
     event = {
         "log_intensity_diff": log_intensity_diff,
-        "start_ts": start_ts,
-        "end_ts": end_ts,
+        # effective supervision interval length (end - (start + tau))
+        "dt": jnp.maximum(
+            (end_base - start_base).astype(jnp.float32) - tau, 1e-6
+        ),
     }
 
     diff, subdiff = derive_intervals(
-        start_ts, end_ts, normalized,
+        start_base, start_delta, end_base, normalized,
         sc.loss_weight_diff, sc.loss_weight_tv,
     )
 
-    # one batched render over all interval endpoints
-    ts_slices = []
+    # one batched render over all interval endpoints; all endpoint deltas
+    # are relative to the event's start_base
+    delta_slices = []
     if diff is not None:
-        ts_slices += [diff["start_ts"], diff["end_ts"]]
+        delta_slices += [diff["start_delta"], diff["end_delta"]]
     if subdiff is not None:
-        ts_slices += [subdiff["start_ts"], subdiff["end_ts"]]
-    R = len(ts_slices)
-    ts_all = jnp.concatenate(ts_slices)           # (R*N,) f64
+        delta_slices += [subdiff["start_delta"], subdiff["end_delta"]]
+    R = len(delta_slices)
+    ts_all, delta_all = pixel_bandwidth.split_time(
+        jnp.tile(start_base, R), jnp.concatenate(delta_slices)
+    )
     pixel_all = jnp.tile(batch["position"], (R, 1))
     channel_idx = batch.get("channel_idx")
     channel_all = None if channel_idx is None \
@@ -246,20 +274,22 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
     if sc.pixel_bandwidth_enabled:
         interval_gen_all = jnp.tile(normalized["interval_gen"], (1, R))
 
-        def sampling_fn(sample_ts):
+        def sampling_fn(sample_ts, sample_ts_delta):
             return render_train_pixels(
-                sample_ts, pixel_all, channel_all, valid_all, k_render
+                sample_ts, sample_ts_delta, pixel_all, channel_all,
+                valid_all, k_render,
             )
 
         log_it_all, aux, _ = pixel_bandwidth.forward_fused(
             params["pixel_bandwidth"], consts["pixel_bandwidth"],
-            interval_gen_all, ts_all, sampling_fn, n,
+            interval_gen_all, ts_all, delta_all, sampling_fn, n,
         )
         stats, is_valid_s = aux
         is_valid_all = jnp.any(is_valid_s, axis=0)
     else:
         intensity, stats, is_valid_all = render_train_pixels(
-            ts_all, pixel_all, channel_all, valid_all, k_render
+            ts_all, delta_all, pixel_all, channel_all, valid_all,
+            k_render,
         )
         log_it_all = jnp.log(intensity)
 

@@ -45,8 +45,7 @@ def test_diff_loss_hand_computed():
     """Target = ts_diff * event_grad; event_grad = dlogI / (end - start)."""
     event = {
         "log_intensity_diff": jnp.asarray([0.6, -0.4]),
-        "start_ts": jnp.asarray([0.0, 100.0]),
-        "end_ts": jnp.asarray([200.0, 300.0]),
+        "dt": jnp.asarray([200.0, 200.0]),
     }
     # grads: 0.6/200 = 0.003, -0.4/200 = -0.002
     diff = {
@@ -65,8 +64,7 @@ def test_diff_loss_hand_computed():
 def test_diff_loss_ct_normalization():
     event = {
         "log_intensity_diff": jnp.asarray([0.5]),
-        "start_ts": jnp.asarray([0.0]),
-        "end_ts": jnp.asarray([100.0]),
+        "dt": jnp.asarray([100.0]),
     }
     diff = {
         "log_intensity_diff": jnp.asarray([0.7]),
@@ -85,8 +83,7 @@ def test_diff_loss_ct_normalization():
 def test_tv_loss_is_error_to_zero_and_masks():
     event = {
         "log_intensity_diff": jnp.asarray([0.0, 0.0, 0.0]),
-        "start_ts": jnp.asarray([0.0, 0.0, 0.0]),
-        "end_ts": jnp.asarray([1.0, 1.0, 1.0]),
+        "dt": jnp.asarray([1.0, 1.0, 1.0]),
     }
     subdiff = {
         "log_intensity_diff": jnp.asarray([0.2, -0.4, 100.0]),

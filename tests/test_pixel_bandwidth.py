@@ -41,22 +41,36 @@ def test_effective_params_roundtrip():
 def test_sample_lifetimes_monotone_and_anchored():
     params, consts = make_model()
     S, N = 10, 7
-    gen = jnp.full((S - 1, N), 0.5, jnp.float64)
-    output_ts = jnp.asarray(
-        np.linspace(2e9, 3e9, N), jnp.float64
-    )
-    ts = np.asarray(pb.sample_lifetimes(params, consts, gen, output_ts))
-    assert ts.shape == (S, N)
-    # strictly increasing toward the output timestamp
-    assert np.all(np.diff(ts, axis=0) > 0)
-    np.testing.assert_allclose(ts[-1], np.asarray(output_ts), rtol=0,
-                               atol=1e-6)
+    gen = jnp.full((S - 1, N), 0.5, jnp.float32)
+    lt = np.asarray(pb.sample_lifetimes(params, consts, gen))
+    assert lt.shape == (S, N)
+    # lifetimes strictly decrease toward 0 at the output timestamp
+    assert np.all(np.diff(lt, axis=0) < 0)
+    np.testing.assert_allclose(lt[-1], 0.0, atol=1e-6)
     # first sample lifetime = exponential ICDF at the target cumprob
     rate = pb.NS_TO_S * 2 * np.pi * 21.0
     want_lifetime = -np.log1p(-0.95) / rate
-    np.testing.assert_allclose(
-        np.asarray(output_ts) - ts[0], want_lifetime, rtol=1e-9
+    np.testing.assert_allclose(lt[0], want_lifetime, rtol=1e-6)
+
+
+def test_split_time_renormalizes_and_keeps_gradient():
+    base = jnp.asarray([1_000_000_000, 2_000_000_000], jnp.int64)
+    delta = jnp.asarray([123.7, -45.2], jnp.float32)
+    b2, d2 = pb.split_time(base, delta)
+    np.testing.assert_array_equal(
+        np.asarray(b2), [1_000_000_124, 1_999_999_955]
     )
+    assert np.all(np.abs(np.asarray(d2)) <= 0.5)
+    # exact total preserved
+    np.testing.assert_allclose(
+        np.asarray(b2 - base).astype(np.float64) + np.asarray(d2),
+        np.asarray(delta), atol=1e-4,
+    )
+    # straight-through gradient: d(total)/d(delta) == 1
+    g = jax.grad(
+        lambda d: jnp.sum(pb.split_time(base, d)[1])
+    )(delta)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
 
 
 def test_constant_input_is_identity():
@@ -64,11 +78,11 @@ def test_constant_input_is_identity():
     log(intensity) out (weights are normalized to sum 1)."""
     params, consts = make_model()
     S, N = 12, 5
-    gen = jnp.full((S - 1, N), 0.5, jnp.float64)
-    output_ts = jnp.full((N,), 5e9, jnp.float64)
+    gen = jnp.full((S - 1, N), 0.5, jnp.float32)
+    output_ts = jnp.full((N,), 5_000_000_000, jnp.int64)
     it_value = 0.37
 
-    def sampling_fn(sample_ts):
+    def sampling_fn(sample_ts, sample_ts_delta):
         return (jnp.full(sample_ts.shape, it_value, jnp.float32),)
 
     out, _, state = pb.forward(
@@ -168,9 +182,9 @@ def test_reset_state_decay():
     params, consts = make_model()
     S, N = 8, 4
     gen = jnp.full((S - 1, N), 0.5, jnp.float64)
-    ts0 = jnp.full((N,), 5e9, jnp.float64)
+    ts0 = jnp.full((N,), 5_000_000_000, jnp.int64)
 
-    def sampling_fn(sample_ts):
+    def sampling_fn(sample_ts, sample_ts_delta):
         return (jnp.full(sample_ts.shape, 0.4, jnp.float32),)
 
     _, _, state = pb.forward(
@@ -180,8 +194,9 @@ def test_reset_state_decay():
     state = pb.ResetState(
         reset_delta_log_it=jnp.full((N,), 0.2, jnp.float32),
         reset_ts=state.reset_ts,
+        reset_ts_delta=state.reset_ts_delta,
     )
-    dt_ns = 3e6
+    dt_ns = 3_000_000
     out_later, _, _ = pb.forward(
         params, consts, gen, ts0 + dt_ns, sampling_fn,
         reset_state=state, reset_diff=False,
@@ -196,13 +211,13 @@ def test_reset_state_decay():
 def test_forward_differentiable_wrt_params_and_intensity():
     params, consts = make_model()
     S, N = 8, 4
-    gen = jnp.full((S - 1, N), 0.5, jnp.float64)
-    ts0 = jnp.full((N,), 5e9, jnp.float64)
+    gen = jnp.full((S - 1, N), 0.5, jnp.float32)
+    ts0 = jnp.full((N,), 5_000_000_000, jnp.int64)
 
     def loss(p, scale):
-        def sampling_fn(sample_ts):
+        def sampling_fn(sample_ts, sample_ts_delta):
             base = 0.3 + 0.1 * jnp.sin(
-                sample_ts.astype(jnp.float32) * 1e-8
+                (sample_ts - 5_000_000_000).astype(jnp.float32) * 1e-7
             )
             return (base * scale,)
 
@@ -228,17 +243,15 @@ def test_forward_fused_matches_sequential():
     gen = jnp.asarray(rng.uniform(0.2, 0.8, (S - 1, N)))
     # R timestamp slices; slice 0 is the reset producer
     ts_slices = [
-        jnp.asarray(rng.uniform(4e9, 5e9, N), jnp.float64)
+        jnp.asarray(rng.integers(4 * 10 ** 9, 5 * 10 ** 9, N), jnp.int64)
         for _ in range(R)
     ]
 
-    def intensity_of_ts(sample_ts):
-        # smooth positive analytic intensity
-        return (
-            0.5 + 0.3 * jnp.sin(
-                sample_ts.astype(jnp.float32) * 1e-9
-            ),
-        )
+    def intensity_of_ts(sample_ts, sample_ts_delta):
+        # smooth positive analytic intensity of the relative time
+        rel = (sample_ts - 4 * 10 ** 9).astype(jnp.float32) \
+            + sample_ts_delta
+        return (0.5 + 0.3 * jnp.sin(rel * 1e-9),)
 
     # sequential (reference-structured) path
     seq_out = []
@@ -259,7 +272,9 @@ def test_forward_fused_matches_sequential():
     gen_all = jnp.tile(gen, (1, R))
     ts_all = jnp.concatenate(ts_slices)
     fused_out, _, fused_state = pb.forward_fused(
-        params, consts, gen_all, ts_all, intensity_of_ts, N,
+        params, consts, gen_all, ts_all, jnp.zeros_like(ts_all,
+                                                        jnp.float32),
+        intensity_of_ts, N,
     )
     np.testing.assert_allclose(
         np.asarray(fused_out), np.asarray(seq_out), rtol=1e-5,

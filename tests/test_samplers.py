@@ -8,7 +8,7 @@ def test_uniform_range_and_dtype():
     key = jax.random.PRNGKey(0)
     s = samplers.uniform(key, (10000,))
     s = np.asarray(s)
-    assert s.dtype == np.float64
+    assert s.dtype == np.float32  # device-native; see samplers docstring
     assert np.all((0 <= s) & (s < 1))
     assert abs(s.mean() - 0.5) < 0.02
 
