@@ -53,10 +53,18 @@ def unitquat_to_rotmat(q):
 
 
 def rotvec_to_unitquat(rotvec):
-    """Rotation vector (..., 3) -> unit quaternion (..., 4) XYZW."""
-    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    small = angle <= jnp.asarray(1e-3, dtype=rotvec.dtype)
-    angle_sq = angle * angle
+    """Rotation vector (..., 3) -> unit quaternion (..., 4) XYZW.
+
+    Gradient-safe at zero rotation: the norm's derivative (rotvec/|rotvec|)
+    is 0/0 there, so the sqrt input is where-guarded on BOTH sides (the
+    single-where Taylor fallback still leaks NaN cotangents through
+    `angle`).
+    """
+    sq = jnp.sum(rotvec * rotvec, axis=-1, keepdims=True)
+    small = sq <= jnp.asarray(1e-6, dtype=rotvec.dtype)
+    safe_sq = jnp.where(small, jnp.ones_like(sq), sq)
+    angle = jnp.where(small, jnp.zeros_like(sq), jnp.sqrt(safe_sq))
+    angle_sq = jnp.where(small, sq, angle * angle)
     # sin(theta/2)/theta with Taylor fallback for small angles
     safe_angle = jnp.where(small, jnp.ones_like(angle), angle)
     scale = jnp.where(
@@ -65,7 +73,12 @@ def rotvec_to_unitquat(rotvec):
         jnp.sin(safe_angle / 2) / safe_angle,
     )
     xyz = scale * rotvec
-    w = jnp.cos(angle / 2)
+    # cos(theta/2) with Taylor fallback (same guarded-angle reasoning)
+    w = jnp.where(
+        small,
+        1.0 - angle_sq / 8 + angle_sq * angle_sq / 384,
+        jnp.cos(angle / 2),
+    )
     return jnp.concatenate([xyz, w], axis=-1)
 
 
@@ -79,7 +92,12 @@ def unitquat_to_full_rotvec(q):
     """
     xyz = q[..., :3]
     w = q[..., 3]
-    norm_xyz = jnp.linalg.norm(xyz, axis=-1)
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    small_norm = sq <= jnp.asarray(1e-12, dtype=q.dtype)
+    safe_sq = jnp.where(small_norm, jnp.ones_like(sq), sq)
+    norm_xyz = jnp.where(
+        small_norm, jnp.zeros_like(sq), jnp.sqrt(safe_sq)
+    )
     angle = 2 * jnp.arctan2(norm_xyz, w)  # in [0, 2*pi]
     small = jnp.abs(angle) <= jnp.asarray(1e-3, dtype=q.dtype)
     angle_sq = angle * angle

@@ -1,5 +1,6 @@
 """Quaternion ops vs scipy.spatial.transform oracles."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation, Slerp
@@ -97,3 +98,27 @@ def test_slerp_endpoints():
     dot = np.sum(q0 * q1, axis=-1, keepdims=True)
     q1_flipped = np.where(dot < 0, -q1, q1)
     np.testing.assert_allclose(at1, q1_flipped, atol=1e-9)
+
+
+def test_slerp_gradient_finite_at_identical_quats():
+    """Zero-rotation slerp (q0 == q1, or weight 0) must have finite
+    gradients w.r.t. the interpolation weight — this is the refractory
+    period's gradient path when timestamps clamp to a pose corner."""
+    import jax
+    q = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+
+    def f(w):
+        out = quat.unitquat_slerp(q, q, w, shortest_path=True)
+        return jnp.sum(out)
+
+    g = jax.grad(f)(jnp.asarray(0.3))
+    assert np.isfinite(float(g))
+
+    q2 = jnp.asarray([0.1, 0.2, 0.0, 0.97])
+    q2 = q2 / jnp.linalg.norm(q2)
+
+    def f2(w):
+        return jnp.sum(quat.unitquat_slerp(q, q2, w))
+
+    g2 = jax.grad(f2)(jnp.asarray(0.0))
+    assert np.isfinite(float(g2))
