@@ -39,8 +39,11 @@ def make_render_image_fn(model, eval_sample_budget=None,
     rc = dataclasses.replace(
         model.render_config,
         stratified=False,
+        # worst-case budget: every ray at max samples — eval images must
+        # never silently truncate (field eval is remat-chunked anyway)
         sample_budget=(eval_sample_budget
-                       or min(chunk * 256, 1 << 23)),
+                       or chunk * model.render_config.max_samples_per_ray),
+        block_budget=None,
         march_chunk=min(chunk, 8192),
         field_chunk=field_chunk,
     )

@@ -167,6 +167,12 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key):
                 jnp.broadcast_to(valid, batch_shape),
             ),
             "num_rendering_samples": out["num_rendering_samples"],
+            # PRE-budget marched-sample demand: the dynamic-batch-size
+            # signal MUST see true demand, not the truncated count —
+            # otherwise overflow makes samples/ray read low, the batch
+            # stays too big, and most rays render empty (a training
+            # collapse, not just a perf bug)
+            "num_marched_samples": out["num_marched_samples"],
             "num_rays": jnp.sum(valid) * (
                 batch_shape[0] if len(batch_shape) == 2 else 1
             ),
@@ -322,8 +328,12 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         "loss": total,
         **{f"loss_{k}": v for k, v in mean_losses.items()},
         "mean_num_samples_per_ray": (
-            stats["num_rendering_samples"].astype(jnp.float32)
+            stats["num_marched_samples"].astype(jnp.float32)
             / jnp.maximum(stats["num_rays"], 1).astype(jnp.float32)
+        ),
+        "sample_overflow_rate": (
+            stats["num_marched_samples"].astype(jnp.float32)
+            / float(model.render_config.sample_budget)
         ),
         "mean_ray_occ_rate": stats["mean_ray_occ_rate"],
         "mean_valid_rate": loss_lib.masked_mean(
