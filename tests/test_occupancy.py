@@ -1,0 +1,79 @@
+"""Occupancy grid: EMA update, warmup, thresholding (nerfacc semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deblur_e_nerf_tpu.models import contraction as cl
+from deblur_e_nerf_tpu.models import occupancy
+
+AABB = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+RES = 8
+
+
+def sphere_occ_eval(key, x, camera_positions):
+    """Occupied inside |x| < 0.5 with value 1.0."""
+    return (jnp.linalg.norm(x, axis=-1) < 0.5).astype(jnp.float32)
+
+
+def run_update(state, step, key=0):
+    return occupancy.update(
+        state, jax.random.PRNGKey(key), sphere_occ_eval,
+        jnp.zeros((2, 3)), jnp.asarray(step, jnp.int32),
+        resolution=RES, aabb=AABB,
+        contraction_type=cl.ContractionType("aabb"),
+        occ_thre=0.01, ema_decay=0.5, warmup_steps=4,
+    )
+
+
+def test_warmup_marks_sphere_cells():
+    state = occupancy.init_state(RES)
+    state = run_update(state, step=0)
+    binary = np.asarray(state.binary).reshape(RES, RES, RES)
+    # center cells occupied, corner cells empty
+    assert binary[RES // 2, RES // 2, RES // 2]
+    assert not binary[0, 0, 0]
+    # occupancy rate ~ sphere volume / box volume = (4/3)pi 0.5^3 / 8
+    rate = binary.mean()
+    assert 0.02 < rate < 0.2
+
+
+def test_ema_decay_prunes_emptied_cells():
+    state = occupancy.init_state(RES)
+    state = run_update(state, step=0)
+
+    def empty_eval(key, x, camera_positions):
+        return jnp.zeros(x.shape[:-1], jnp.float32)
+
+    # full-grid (warmup) updates with zero density decay occs by 0.5 each
+    for step in range(1, 4):
+        state = occupancy.update(
+            state, jax.random.PRNGKey(step), empty_eval,
+            jnp.zeros((2, 3)), jnp.asarray(step, jnp.int32),
+            resolution=RES, aabb=AABB,
+            contraction_type=cl.ContractionType("aabb"),
+            occ_thre=0.01, ema_decay=0.5, warmup_steps=4,
+        )
+    # after 3 halvings: 1.0 -> 0.125; still above thre... keep decaying
+    for step in range(4, 10):
+        state = occupancy.update(
+            state, jax.random.PRNGKey(step), empty_eval,
+            jnp.zeros((2, 3)), jnp.asarray(step, jnp.int32),
+            resolution=RES, aabb=AABB,
+            contraction_type=cl.ContractionType("aabb"),
+            occ_thre=0.01, ema_decay=0.5, warmup_steps=100,
+        )
+    assert float(jnp.max(state.occs)) < 0.01
+
+
+def test_query_matches_binary():
+    state = occupancy.init_state(RES)
+    state = run_update(state, step=0)
+    # query at the center (occupied) and far corner (empty), plus
+    # out-of-grid coordinates are always False
+    u = jnp.asarray([[0.5, 0.5, 0.5], [0.01, 0.01, 0.01],
+                     [1.5, 0.5, 0.5]])
+    out = np.asarray(occupancy.query(state, u, RES))
+    assert out[0]
+    assert not out[1]
+    assert not out[2]
