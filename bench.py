@@ -30,7 +30,6 @@ EFF_RAY_SAMPLES = 16384     # target event-ray samples per step (reference
 N_SLICES = 4                # interval endpoints rendered per step
 S = 30                      # pixel-bandwidth intensity samples
 SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
-MARCH_CHUNK = 4096
 FIELD_CHUNK = 0             # no field remat: activations fit at this K, and
                             # rematerializing would re-run the hash gathers
 WARMUP_STEPS = 2
@@ -67,8 +66,7 @@ def main():
 
     bundle, params = setup.build(
         config, root, sample_budget=SAMPLE_BUDGET,
-        batch_capacity=BATCH_CAPACITY, march_chunk=MARCH_CHUNK,
-        field_chunk=FIELD_CHUNK,
+        batch_capacity=BATCH_CAPACITY, field_chunk=FIELD_CHUNK,
     )
     sc = bundle.static_config
     tx, trainable_mask = optim.build(

@@ -60,8 +60,7 @@ def resolve_render_step_size(nerf_config, aabb):
 
 
 def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
-          sample_budget, march_chunk=4096, field_chunk=0,
-          stratified=True):
+          sample_budget, field_chunk=0, stratified=True):
     """Build the model description from a reference-schema nerf config."""
     aabb = resolve_aabb(nerf_config, camera_positions)
     render_step_size = resolve_render_step_size(nerf_config, aabb)
@@ -130,7 +129,6 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         stratified=stratified,
         max_samples_per_ray=MAX_NUM_SAMPLES_PER_RAY,
         sample_budget=sample_budget,
-        march_chunk=march_chunk,
         field_chunk=field_chunk,
     )
 

@@ -59,7 +59,6 @@ class RenderConfig:
     sample_budget: int = 1 << 17            # K: flat sample buffer capacity
     block_budget: Optional[int] = None      # KB: coarse-block buffer
                                             # capacity (None = K // 4)
-    march_chunk: int = 4096                 # unused (kept for config compat)
     field_chunk: int = 0                    # samples per field eval (0 = all)
     opacity_eps: float = 1e-10
 

@@ -44,7 +44,6 @@ def make_render_image_fn(model, eval_sample_budget=None,
         sample_budget=(eval_sample_budget
                        or chunk * model.render_config.max_samples_per_ray),
         block_budget=None,
-        march_chunk=min(chunk, 8192),
         field_chunk=field_chunk,
     )
     eval_model = model._replace(render_config=rc)
@@ -156,7 +155,8 @@ class Evaluator:
 
     def epoch_end(self, outputs, min_normalized_pixel_value,
                   max_normalized_pixel_value, epoch=0,
-                  sanity_checking=False, lpips_net="alex", writer=None,
+                  sanity_checking=False, lpips_net="alex",
+                  lpips_weights_path=None, writer=None,
                   stage="val", global_step=0):
         """Full epoch-end pipeline; `outputs` is a list of dicts with
         sample_id, pred_intensity_img, target_intensity_img,
@@ -234,7 +234,7 @@ class Evaluator:
             metrics_lib.compute_all(
                 pred_img[i], target_img[i],
                 min_normalized_pixel_value, max_normalized_pixel_value,
-                lpips_net,
+                lpips_net, lpips_weights_path,
             )
             for i in range(B)
         ]

@@ -75,21 +75,126 @@ _LPIPS_MODEL = None
 _LPIPS_UNAVAILABLE = False
 
 
-def lpips(pred, target, min_target_val, max_target_val, net="alex"):
+def _build_lpips_alex(weights_path):
+    """Native LPIPS(alex) re-implementation loading a LOCAL state dict.
+
+    Equivalent to the `lpips` package's `LPIPS(net='alex')` forward
+    (reference dependency: loss_metric/metric.py:84-90): scaling layer ->
+    AlexNet conv features (taps after each of the 5 ReLUs) ->
+    channel-unit-normalize -> squared diff -> learned 1x1 non-negative
+    linear heads -> spatial mean -> sum over taps. The state dict uses the
+    official lpips-package key naming, so weights exported with
+    `torch.save(lpips.LPIPS(net='alex').state_dict(), path)` load as-is.
+    There is no download fallback (zero-egress environments); without
+    `metric.lpips_weights_path` the metric records NaN.
+    """
+    import torch
+    import torch.nn as nn
+
+    class AlexFeats(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # torchvision AlexNet `features` indices, grouped into the
+            # lpips-package slices (taps after ReLU 1/4/7/9/11)
+            self.slice1 = nn.Sequential()
+            self.slice1.add_module("0", nn.Conv2d(3, 64, 11, 4, 2))
+            self.slice1.add_module("1", nn.ReLU(inplace=True))
+            self.slice2 = nn.Sequential()
+            self.slice2.add_module("2", nn.MaxPool2d(3, 2))
+            self.slice2.add_module("3", nn.Conv2d(64, 192, 5, 1, 2))
+            self.slice2.add_module("4", nn.ReLU(inplace=True))
+            self.slice3 = nn.Sequential()
+            self.slice3.add_module("5", nn.MaxPool2d(3, 2))
+            self.slice3.add_module("6", nn.Conv2d(192, 384, 3, 1, 1))
+            self.slice3.add_module("7", nn.ReLU(inplace=True))
+            self.slice4 = nn.Sequential()
+            self.slice4.add_module("8", nn.Conv2d(384, 256, 3, 1, 1))
+            self.slice4.add_module("9", nn.ReLU(inplace=True))
+            self.slice5 = nn.Sequential()
+            self.slice5.add_module("10", nn.Conv2d(256, 256, 3, 1, 1))
+            self.slice5.add_module("11", nn.ReLU(inplace=True))
+
+        def forward(self, x):
+            taps = []
+            for s in (self.slice1, self.slice2, self.slice3,
+                      self.slice4, self.slice5):
+                x = s(x)
+                taps.append(x)
+            return taps
+
+    class Lin(nn.Module):
+        def __init__(self, chn):
+            super().__init__()
+            self.model = nn.Sequential(
+                nn.Dropout(), nn.Conv2d(chn, 1, 1, bias=False)
+            )
+
+        def forward(self, x):
+            return self.model(x)
+
+    class LPIPSAlex(nn.Module):
+        CHNS = (64, 192, 384, 256, 256)
+
+        def __init__(self):
+            super().__init__()
+            self.scaling_layer = nn.Module()
+            self.scaling_layer.register_buffer(
+                "shift", torch.zeros(1, 3, 1, 1)
+            )
+            self.scaling_layer.register_buffer(
+                "scale", torch.ones(1, 3, 1, 1)
+            )
+            self.net = AlexFeats()
+            for i, c in enumerate(self.CHNS):
+                setattr(self, f"lin{i}", Lin(c))
+
+        def forward(self, in0, in1):
+            in0 = (in0 - self.scaling_layer.shift) \
+                / self.scaling_layer.scale
+            in1 = (in1 - self.scaling_layer.shift) \
+                / self.scaling_layer.scale
+            taps0, taps1 = self.net(in0), self.net(in1)
+            total = 0.0
+            for i, (f0, f1) in enumerate(zip(taps0, taps1)):
+                n0 = f0 / torch.sqrt(
+                    (f0 ** 2).sum(dim=1, keepdim=True) + 1e-10
+                )
+                n1 = f1 / torch.sqrt(
+                    (f1 ** 2).sum(dim=1, keepdim=True) + 1e-10
+                )
+                d = (n0 - n1) ** 2
+                total = total + getattr(self, f"lin{i}")(d).mean(
+                    dim=(2, 3), keepdim=True
+                )
+            return total
+
+    model = LPIPSAlex()
+    state = torch.load(weights_path, map_location="cpu",
+                       weights_only=True)
+    model.load_state_dict(state, strict=True)
+    model.eval()
+    for p in model.parameters():
+        p.requires_grad_(False)
+    return model
+
+
+def lpips(pred, target, min_target_val, max_target_val, net="alex",
+          weights_path=None):
     """LPIPS on range-normalized images expanded to 3 channels
-    (reference: metric.py:84-90). Returns None when the pretrained
-    backbone cannot be loaded (zero-egress environment)."""
+    (reference: metric.py:84-90). Returns None when no local pretrained
+    weights are configured (zero-egress environment)."""
     global _LPIPS_MODEL, _LPIPS_UNAVAILABLE
-    if _LPIPS_UNAVAILABLE:
+    if _LPIPS_UNAVAILABLE or weights_path is None:
         return None
     if _LPIPS_MODEL is None:
+        if net != "alex":
+            raise NotImplementedError(
+                f"native LPIPS backbone {net!r} (only 'alex')"
+            )
         try:
-            import lpips as lpips_pkg
-            import torch  # noqa: F401
-            _LPIPS_MODEL = lpips_pkg.LPIPS(net=net)
-            for p in _LPIPS_MODEL.parameters():
-                p.requires_grad_(False)
-        except Exception:
+            _LPIPS_MODEL = _build_lpips_alex(weights_path)
+        except Exception as e:
+            print(f"LPIPS unavailable ({e}); recording NaN")
             _LPIPS_UNAVAILABLE = True
             return None
     import torch
@@ -102,11 +207,11 @@ def lpips(pred, target, min_target_val, max_target_val, net="alex"):
         p = p.expand(-1, 3, -1, -1)
         t = t.expand(-1, 3, -1, -1)
     with torch.no_grad():
-        return float(_LPIPS_MODEL(in0=p, in1=t).mean())
+        return float(_LPIPS_MODEL(p, t).mean())
 
 
 def compute_all(pred, target, min_target_val, max_target_val,
-                lpips_net="alex"):
+                lpips_net="alex", lpips_weights_path=None):
     """All metrics for one (C, H, W) image pair; returns a dict."""
     pred = np.asarray(pred, np.float64)[None]
     target = np.asarray(target, np.float64)[None]
@@ -116,6 +221,7 @@ def compute_all(pred, target, min_target_val, max_target_val,
         "psnr": psnr(pred, target, rng),
         "ssim": ssim(pred, target, max_target_val),
     }
-    lp = lpips(pred, target, min_target_val, max_target_val, lpips_net)
+    lp = lpips(pred, target, min_target_val, max_target_val, lpips_net,
+               lpips_weights_path)
     out["lpips"] = float("nan") if lp is None else lp
     return out

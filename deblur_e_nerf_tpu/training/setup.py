@@ -25,7 +25,7 @@ class ModelBundle(NamedTuple):
 
 
 def build(config, dataset_directory=None, sample_budget=None,
-          batch_capacity=4096, march_chunk=4096, field_chunk=0):
+          batch_capacity=4096, field_chunk=0):
     """Build (ModelBundle, init_params) from a reference-schema config.
 
     Args:
@@ -62,8 +62,7 @@ def build(config, dataset_directory=None, sample_budget=None,
     render_bkgd = "parameter" if config.data.alpha_over_white_bg else None
     model = nerf_model.build(
         mc.nerf, camera_poses["T_wc_position"], radiance_dim,
-        render_bkgd, sample_budget, march_chunk=march_chunk,
-        field_chunk=field_chunk,
+        render_bkgd, sample_budget, field_chunk=field_chunk,
     )
 
     # component params/consts

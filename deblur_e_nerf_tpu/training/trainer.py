@@ -33,7 +33,7 @@ from . import (checkpoint as checkpoint_lib, evaluation, optim,
 
 class Trainer:
     def __init__(self, config, log_dir, batch_capacity=8192,
-                 march_chunk=4096, field_chunk=0, sample_budget=None):
+                 field_chunk=0, sample_budget=None):
         self.config = config
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
@@ -41,8 +41,7 @@ class Trainer:
         root = config.data.dataset_directory
         self.bundle, self.params = setup_lib.build(
             config, root, sample_budget=sample_budget,
-            batch_capacity=batch_capacity, march_chunk=march_chunk,
-            field_chunk=field_chunk,
+            batch_capacity=batch_capacity, field_chunk=field_chunk,
         )
         self.batch_capacity = batch_capacity
 
@@ -59,9 +58,17 @@ class Trainer:
             self.params = checkpoint_lib.selective_restore_params(
                 self.params, restored["params"], component_flags
             )
-            self.restored_occ_state = jax.tree_util.tree_map(
-                jnp.asarray, restored.get("occ_state")
-            ) if "occ_state" in restored else None
+            # The occupancy grid rides with the NeRF component (in the
+            # reference it is a registered buffer of the NeRF state_dict;
+            # reference: models/nerf.py:98-102), so it is restored exactly
+            # when model.nerf.load_state_dict is set. Restored BY FIELD
+            # NAME — a target-less orbax restore returns plain dicts, and
+            # leaf-order zipping would swap occs/binary (alphabetical
+            # tree_leaves vs NamedTuple field order).
+            if component_flags.get("nerf") and "occ_state" in restored:
+                self.restored_occ_state = restored["occ_state"]
+            else:
+                self.restored_occ_state = None
         else:
             self.restored_occ_state = None
 
@@ -91,12 +98,14 @@ class Trainer:
 
         occ_state = nerf_model.init_occupancy(self.bundle.model)
         if self.restored_occ_state is not None:
-            occ_state = type(occ_state)(**dict(
-                zip(occ_state._fields, jax.tree_util.tree_leaves(
-                    self.restored_occ_state
-                ))
-            )) if not isinstance(self.restored_occ_state, dict) else \
-                occ_state
+            occ_state = occ_state._replace(
+                occs=jnp.asarray(
+                    self.restored_occ_state["occs"], jnp.float32
+                ),
+                binary=jnp.asarray(
+                    self.restored_occ_state["binary"]
+                ).astype(bool),
+            )
         self.state = step_lib.TrainState(
             params=self.params, opt_state=tx.init(self.params),
             occ_state=occ_state, step=jnp.asarray(0, jnp.int32),
@@ -174,7 +183,14 @@ class Trainer:
                 if (self.global_step % self.accumulate) == 0:
                     key, k_occ = jax.random.split(key)
                     opt_step = self.global_step // self.accumulate
-                    if opt_step % occ_n == 0:
+                    # nerfacc every_n_step semantics: during warmup the
+                    # grid updates at EVERY opt step, afterwards every n-th
+                    # (reference: nerfacc OccupancyGrid.every_n_step via
+                    # models/nerf.py:200-204)
+                    warmup = int(
+                        self.bundle.model.occ_grid_config.warmup_steps
+                    )
+                    if opt_step < warmup or opt_step % occ_n == 0:
                         self.state = self.state._replace(
                             occ_state=self.occ_update_fn(
                                 self.state.params["nerf"],
@@ -197,7 +213,12 @@ class Trainer:
                     jax.profiler.stop_trace()
 
                 m = float(metrics["mean_num_samples_per_ray"])
-                self.batch_controller.update(m)
+                # refresh the active batch size only at accumulation
+                # boundaries so every micro-batch within one optimizer step
+                # has a consistent size (reference: deblur_e_nerf.py:
+                # 1286-1291 gates the refresh the same way)
+                if (self.global_step % self.accumulate) == 0:
+                    self.batch_controller.update(m)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
                     raise FloatingPointError(
@@ -297,32 +318,65 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def build_evaluator(self, stage="val"):
+        """Per-target evaluators/datasets for `eval_target`.
+
+        The reference supports eval_target {event_view} -> train views and
+        {novel_view} -> val/test views and raises on anything else
+        (reference: data/datamodule.py:107-118). Here a mixed
+        [event_view, novel_view] list is additionally supported: both
+        loaders are evaluated and logged separately.
+        """
         config = self.config
         eval_target = list(config.get("eval_target", ["novel_view"]))
-        if set(eval_target) == {"event_view"}:
-            posed_stage = "train"
-        else:
-            posed_stage = stage if stage != "val" else "val"
-        dataset = posed_images_data.PosedImageDataset(
-            config.data.dataset_directory, posed_stage,
-            config.data.get("eval_dataset_perm_seed"),
-            bool(config.data.alpha_over_white_bg),
-        )
-        evaluator = evaluation.Evaluator(
-            config.model.correction,
-            self.bundle.static_config.has_bayer,
-            log_dir=self.log_dir,
-            save_pred_intensity_img=bool(
-                config.model.get("eval_save_pred_intensity_img", False)
-            ),
-        )
+        supported = {"event_view", "novel_view"}
+        if not eval_target or not set(eval_target) <= supported:
+            raise NotImplementedError(
+                f"unsupported eval_target {eval_target!r}; supported "
+                f"subsets of {sorted(supported)}"
+            )
+        multi = len(set(eval_target)) > 1
+        targets = {}
+        for target in dict.fromkeys(eval_target):
+            posed_stage = "train" if target == "event_view" else stage
+            dataset = posed_images_data.PosedImageDataset(
+                config.data.dataset_directory, posed_stage,
+                config.data.get("eval_dataset_perm_seed"),
+                bool(config.data.alpha_over_white_bg),
+            )
+            # per-target artifact dirs + warm-started correction params
+            log_dir = os.path.join(self.log_dir, target) if multi \
+                else self.log_dir
+            evaluator = evaluation.Evaluator(
+                config.model.correction,
+                self.bundle.static_config.has_bayer,
+                log_dir=log_dir,
+                save_pred_intensity_img=bool(
+                    config.model.get(
+                        "eval_save_pred_intensity_img", False
+                    )
+                ),
+            )
+            targets[target] = (evaluator, dataset)
         render_image = evaluation.make_render_image_fn(
             self.bundle.model
         )
-        return evaluator, dataset, render_image
+        return targets, render_image
 
     def evaluate(self, stage="val", epoch=0, max_images=None):
-        evaluator, dataset, render_image = self.build_evaluator(stage)
+        targets, render_image = self.build_evaluator(stage)
+        multi = len(targets) > 1
+        merged = {}
+        for target, (evaluator, dataset) in targets.items():
+            tag = f"{stage}/{target}" if multi else stage
+            metric = self._evaluate_dataset(
+                evaluator, dataset, render_image, tag, epoch, max_images
+            )
+            for name, value in metric.items():
+                merged[f"{target}/{name}" if multi else name] = value
+        return merged
+
+    def _evaluate_dataset(self, evaluator, dataset, render_image, stage,
+                          epoch, max_images=None):
         data = dataset.posed_imgs
         intrinsics_inv = jnp.asarray(
             np.linalg.inv(data["intrinsics"]), jnp.float32
@@ -359,6 +413,9 @@ class Trainer:
             outputs, dataset.min_normalized_pixel_value,
             dataset.max_normalized_pixel_value, epoch=epoch,
             lpips_net=str(self.config.metric.lpips_net),
+            lpips_weights_path=self.config.metric.get(
+                "lpips_weights_path"
+            ),
             writer=self.writer, stage=stage,
             global_step=self.global_step,
         )

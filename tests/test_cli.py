@@ -35,7 +35,8 @@ def test_run_cli_train_then_val(tmp_path):
     config.model.nerf.test_chunk_size = 256
     config.trainer.max_epochs = 1
     config.trainer.limit_train_batches = 2
-    config.trainer.check_val_every_n_epoch = 5  # skip val during train
+    config.trainer.check_val_every_n_epoch = 1  # in-training eval: the
+    # val-stage restore below must reproduce its PSNR exactly
     config_path = tmp_path / "config.yaml"
     save_config(config, str(config_path))
 
@@ -45,7 +46,8 @@ def test_run_cli_train_then_val(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts/run.py"), "train",
          str(config_path), "--log-dir", str(log_dir),
          "--platform", "cpu",
-         "--batch-capacity", "32", "--sample-budget", "2048"],
+         "--batch-capacity", "32", "--sample-budget", "2048",
+         "--max-eval-images", "1"],
         capture_output=True, text=True, env=env, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -53,6 +55,18 @@ def test_run_cli_train_then_val(tmp_path):
     assert (log_dir / "config.yaml").exists()
     ckpt = log_dir / "checkpoints" / "epoch_0000"
     assert ckpt.exists()
+    import re
+    m = re.search(r"'psnr': ([-+0-9.e]+|nan|inf)", out.stdout)
+    assert m, out.stdout
+    train_eval_psnr = float(m.group(1))
+    assert np.isfinite(train_eval_psnr)
+
+    # the checkpointed occupancy grid must have occupied cells — a blank
+    # grid renders pure background and silently passes finiteness checks
+    # (round-1 eval-restore bug)
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(str(ckpt))
+    assert np.asarray(restored["occ_state"]["binary"]).sum() > 0
 
     # val stage with the trained NeRF selectively restored
     config.model.checkpoint_filepath = str(ckpt)
@@ -73,3 +87,10 @@ def test_run_cli_train_then_val(tmp_path):
         metrics = yaml.safe_load(f)
     assert np.isfinite(metrics[0]["psnr"])
     assert np.isfinite(metrics[0]["ssim"])
+    # eval-restore parity: val on the restored checkpoint must reproduce
+    # the in-training eval of the same state (deterministic eval render +
+    # correction), catching any silently-dropped restore
+    assert abs(metrics[0]["psnr"] - train_eval_psnr) < 1e-3 \
+        * max(1.0, abs(train_eval_psnr)), (
+            metrics[0]["psnr"], train_eval_psnr
+        )

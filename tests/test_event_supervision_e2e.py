@@ -65,7 +65,6 @@ def test_event_loss_near_oracle_with_analytic_scene(tmp_path):
     config.model.nerf.occ_grid.resolution = 64
     bundle, params = setup.build(
         config, str(root), sample_budget=262144, batch_capacity=96,
-        march_chunk=4096,
     )
     # swap in the analytic field; learnable background -> true 0.15-1e-3
     # (the renderer adds min_modeled_intensity=1e-3 back)

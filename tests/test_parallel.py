@@ -39,7 +39,6 @@ def dp_setup(tmp_path_factory):
     config.model.nerf.ngp.pos_encoding.log2_hashmap_size = 10
     bundle, params = setup.build(
         config, str(root), sample_budget=4096, batch_capacity=64,
-        march_chunk=64,
     )
     tx, _ = optim.build(
         params, config.optimizer, config.lr_scheduler,

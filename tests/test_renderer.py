@@ -25,7 +25,6 @@ def make_rc(**kwargs):
         stratified=False,
         max_samples_per_ray=256,
         sample_budget=8192,
-        march_chunk=16,
     )
     defaults.update(kwargs)
     return renderer.RenderConfig(**defaults)

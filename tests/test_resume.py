@@ -36,7 +36,7 @@ def test_trainer_resume_roundtrip(tmp_path):
 
     log_a = tmp_path / "log_a"
     tr = Trainer(config, str(log_a), batch_capacity=32,
-                 sample_budget=2048, march_chunk=32)
+                 sample_budget=2048)
     tr.train()
     ckpt = os.path.join(str(log_a), "checkpoints", "epoch_0000")
     assert os.path.exists(ckpt)
@@ -47,7 +47,7 @@ def test_trainer_resume_roundtrip(tmp_path):
 
     # fresh trainer; resume restores params, optimizer, counters
     tr2 = Trainer(config, str(tmp_path / "log_b"), batch_capacity=32,
-                  sample_budget=2048, march_chunk=32)
+                  sample_budget=2048)
     last_epoch = tr2.resume(ckpt)
     assert last_epoch == 0
     assert tr2.global_step == 2

@@ -32,7 +32,6 @@ def tiny_setup(tmp_path_factory):
     config.model.nerf.ngp.pos_encoding.log2_hashmap_size = 10
     bundle, params = setup.build(
         config, str(root), sample_budget=4096, batch_capacity=64,
-        march_chunk=64,
     )
     return root, config, bundle, params
 
@@ -126,7 +125,6 @@ def test_no_pixel_bandwidth_path(tiny_setup):
     config.model.nerf.ngp.pos_encoding.log2_hashmap_size = 10
     bundle, params = setup.build(
         config, str(root), sample_budget=4096, batch_capacity=32,
-        march_chunk=32,
     )
     assert "pixel_bandwidth" not in params
 

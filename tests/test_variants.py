@@ -34,7 +34,6 @@ def tiny_config(root, arch="ngp"):
 def run_steps(root, config, n_steps=2):
     bundle, params = setup.build(
         config, str(root), sample_budget=4096, batch_capacity=32,
-        march_chunk=32,
     )
     tx, _ = optim.build(
         params, config.optimizer, config.lr_scheduler,
