@@ -178,6 +178,11 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
             0.5
             + 0.2 * np.sin(6.0 * p[..., 0]) * np.sin(6.0 * p[..., 1])
             + 0.15 * np.sin(4.0 * p[..., 2])
+            # higher-frequency detail: denser event streams and a
+            # meaningful fine-level reconstruction target
+            + 0.08 * np.sin(14.0 * p[..., 0] + 7.0 * p[..., 2])
+            * np.sin(11.0 * p[..., 1])
+            + 0.05 * np.sin(23.0 * p[..., 0]) * np.sin(19.0 * p[..., 2])
         )
         img = np.where(hit, tex, 0.15)
         return img.astype(np.float32)
@@ -206,10 +211,19 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
     views_dir = os.path.join(root, "views")
     os.makedirs(views_dir, exist_ok=True)
 
+    # train views at early orbit poses; val/test views at DIFFERENT orbit
+    # positions so novel_view evaluation is genuinely novel
+    n_eval = min(2, num_poses)
+    val_idx = [int(i) for i in np.linspace(
+        num_poses // 8, 3 * num_poses // 8, n_eval
+    )]
+    test_idx = [int(i) for i in np.linspace(
+        5 * num_poses // 8, 7 * num_poses // 8, n_eval
+    )]
     for stage, indices in (
         ("train", range(0, min(num_views, num_poses))),
-        ("val", range(0, min(2, num_poses))),
-        ("test", range(0, min(2, num_poses))),
+        ("val", val_idx),
+        ("test", test_idx),
     ):
         frames = []
         for i in indices:

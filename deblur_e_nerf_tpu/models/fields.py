@@ -182,13 +182,22 @@ class NGPField(nn.Module):
         selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
         return u, selector
 
-    def density(self, x, return_feat=False):
+    def density(self, x, return_feat=False, level_mask=None):
+        """`level_mask`: optional (n_levels,) float weights on the grid
+        levels — the coarse-to-fine training curriculum (instant-NGP
+        style; a TPU-framework extension, not in the reference). Masked
+        levels contribute zero features AND zero table gradient."""
         u, selector = self._contract(x)
         # sample positions are stop-gradiented in the render path, so the
         # fast frozen-position table-gradient path applies
         feat = hash_encoding.encode(
             self.table, u, self.levels, differentiable_positions=False
         )
+        if level_mask is not None:
+            feat = feat * jnp.repeat(
+                jnp.asarray(level_mask, feat.dtype),
+                self.n_features_per_level,
+            )
         h = self.mlp_base(feat)
         raw_density, geo_feat = h[..., :1], h[..., 1:]
         density = (
@@ -199,8 +208,10 @@ class NGPField(nn.Module):
             return density, geo_feat
         return density
 
-    def __call__(self, x, direction):
-        density, geo_feat = self.density(x, return_feat=True)
+    def __call__(self, x, direction, level_mask=None):
+        density, geo_feat = self.density(
+            x, return_feat=True, level_mask=level_mask
+        )
         if self.use_viewdirs:
             d = sh_encoding.sh_encode(direction, self.sh_degree)
             h = jnp.concatenate([d, geo_feat], axis=-1)

@@ -11,7 +11,7 @@ pytrees.
 """
 
 import math
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,10 @@ class NeRFModel(NamedTuple):
     render_bkgd_mode: Optional[str]  # None | 'parameter' | 'fixed'
     radiance_dim: int
     test_chunk_size: int
+    # optional coarse-to-fine grid-level curriculum
+    # (start_levels, steps_per_level) — a TPU-framework extension
+    # (instant-NGP-style schedule); None = reference behavior
+    curriculum: Optional[Tuple[int, int]] = None
 
 
 def resolve_aabb(nerf_config, camera_positions):
@@ -139,6 +143,15 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
     else:
         bkgd_mode = "fixed"
 
+    curriculum = None
+    if nerf_config.arch == "ngp":
+        cur_cfg = nerf_config.ngp.pos_encoding.get("curriculum")
+        if cur_cfg and bool(cur_cfg.get("enable", True)):
+            curriculum = (
+                int(cur_cfg.get("start_levels", 5)),
+                int(cur_cfg.get("steps_per_level", 500)),
+            )
+
     return NeRFModel(
         field=field,
         render_config=render_config,
@@ -146,6 +159,7 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         render_bkgd_mode=bkgd_mode,
         radiance_dim=radiance_dim,
         test_chunk_size=int(nerf_config.test_chunk_size),
+        curriculum=curriculum,
     )
 
 
@@ -180,17 +194,35 @@ def init_occupancy(model):
     return occupancy.init_state(model.render_config.grid_resolution)
 
 
-def density_fn(model, params, x):
+def level_mask_for_step(model, step):
+    """(n_levels,) 0/1 curriculum mask for a (traced) step counter, or
+    None when no curriculum is configured."""
+    if model.curriculum is None:
+        return None
+    start_levels, steps_per_level = model.curriculum
+    n_levels = model.field.n_levels
+    active = start_levels + step // steps_per_level
+    return (
+        jnp.arange(n_levels) < active
+    ).astype(jnp.float32)
+
+
+def density_fn(model, params, x, level_mask=None):
+    if level_mask is None:  # also the vanilla-MLP field (no levels) path
+        return model.field.apply(
+            {"params": params["field"]}, x, method=model.field.density
+        )
     return model.field.apply(
-        {"params": params["field"]}, x, method=model.field.density
+        {"params": params["field"]}, x, level_mask=level_mask,
+        method=model.field.density,
     )
 
 
 def update_occupancy(model, params, occ_state, key, camera_positions,
-                     step):
+                     step, level_mask=None):
     rc = model.render_config
     occ_eval = occupancy.make_occ_eval_fn(
-        lambda x: density_fn(model, params, x),
+        lambda x: density_fn(model, params, x, level_mask),
         rc.render_step_size, rc.cone_angle, rc.near_plane, rc.far_plane,
     )
     cfg = model.occ_grid_config
@@ -221,7 +253,7 @@ def pixel_params_to_ray(intrinsics_inverse, pixel_position, T_wc_position,
 
 
 def render(model, params, occ_state, rays_o, rays_d, ray_mask, key,
-           stratified=None, fixed_bkgd=None):
+           stratified=None, fixed_bkgd=None, level_mask=None):
     """Render a flat ray bundle; returns the renderer output dict with
     opacity-normalized depth (reference: models/nerf.py:267-284)."""
     rc = model.render_config
@@ -229,7 +261,11 @@ def render(model, params, occ_state, rays_o, rays_d, ray_mask, key,
         rc = dataclasses_replace(rc, stratified=stratified)
 
     def field_fn(x, d):
-        return model.field.apply({"params": params["field"]}, x, d)
+        if level_mask is None:
+            return model.field.apply({"params": params["field"]}, x, d)
+        return model.field.apply(
+            {"params": params["field"]}, x, d, level_mask=level_mask
+        )
 
     bkgd = render_bkgd_value(model, params, fixed_bkgd)
     return renderer.render_rays(

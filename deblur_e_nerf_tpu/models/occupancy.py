@@ -79,7 +79,11 @@ def _sample_cells(key, state, n):
     # if no cell is occupied, fall back to uniform sampling
     u = jax.random.uniform(k_occ, (n,), dtype=jnp.float32) \
         * jnp.maximum(total, 1.0)
-    occ_cells = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+    # 'scan_unrolled': log2(num_cells) batched gathers instead of the
+    # default serial while-loop binary search
+    occ_cells = jnp.searchsorted(
+        cdf, u, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)
     occ_cells = jnp.clip(occ_cells, 0, num_cells - 1)
     occ_cells = jnp.where(total > 0, occ_cells, uniform_cells)
     return jnp.concatenate([uniform_cells, occ_cells])

@@ -66,7 +66,12 @@ def interpolate_pose(trajectory, timestamp, timestamp_delta=None):
     timestamp = jnp.asarray(timestamp)
     if not jnp.issubdtype(timestamp.dtype, jnp.integer):
         timestamp = timestamp.astype(ts_line.dtype)
-    right = jnp.searchsorted(ts_line, timestamp)
+    # jnp.searchsorted's default 'scan' method lowers to a serial while
+    # loop of gathers — profiled at ~1s/step on the training workload.
+    # For short pose timelines a vectorized compare-against-all is ~free;
+    # for long ones the unrolled binary search is log2(C) batched gathers.
+    method = "compare_all" if ts_line.shape[0] <= 256 else "scan_unrolled"
+    right = jnp.searchsorted(ts_line, timestamp, method=method)
     is_corner = timestamp == ts_line[0]
     left = jnp.where(is_corner, right, right - 1)
     right = jnp.clip(right, 0, ts_line.shape[0] - 1)

@@ -13,6 +13,7 @@ construction — every metric is already a global reduction.
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import jax
+import jax.numpy as jnp
 
 from ..training import step as step_lib
 from .mesh import DATA_AXIS
@@ -34,7 +35,8 @@ def replicate(mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
-def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh):
+def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh,
+                            trainable_mask=None):
     """Data-parallel version of `training.step.make_train_step`.
 
     Returns step_fn(state, batch, key) -> (state, metrics) compiled over
@@ -42,7 +44,10 @@ def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh):
     everything else replicated. The event-batch capacity must be divisible
     by the mesh size.
     """
-    step_fn = step_lib.make_train_step(model, consts, tx, sc, loss_config)
+    step_fn = step_lib.make_train_step(
+        model, consts, tx, sc, loss_config,
+        trainable_mask=trainable_mask,
+    )
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
@@ -52,7 +57,7 @@ def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh):
     )
 
 
-def make_sharded_occ_update(model, consts, mesh):
+def make_sharded_occ_update(model, consts, mesh, step_scale=1):
     """Replicated occupancy-grid EMA update over the mesh.
 
     The grid is small (resolution^3 <= 128^3) and its update is cheap
@@ -64,9 +69,14 @@ def make_sharded_occ_update(model, consts, mesh):
     repl = NamedSharding(mesh, P())
 
     def occ_update(params, occ_state, key, step):
+        # `step` is the OPT step; the curriculum counts micro-steps, so
+        # scale by the gradient-accumulation factor
         return nerf_model.update_occupancy(
             model, params, occ_state, key,
             consts["trajectory"].T_wc_position, step,
+            level_mask=nerf_model.level_mask_for_step(
+                model, step * jnp.asarray(step_scale, jnp.int32)
+            ),
         )
 
     return jax.jit(

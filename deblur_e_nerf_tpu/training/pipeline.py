@@ -20,37 +20,52 @@ import numpy as np
 
 class EventBatcher:
     def __init__(self, events, capacity, seed=0, dataset_len=None,
-                 has_bayer=False):
+                 has_bayer=False, interleave=1):
         """
         Args:
             events: packed events dict of numpy arrays.
             capacity: static batch capacity N.
             dataset_len: optional trim (reference TrimDataset semantics).
+            interleave: mesh size for data-parallel runs — active rows
+                are placed round-robin across the `interleave` equal
+                shards of the capacity so every device gets equal work
+                (the reference's per-rank decorrelated DDP batches,
+                reference: data/datamodule.py:85-91, achieved by layout).
         """
         self.events = events
         self.capacity = int(capacity)
         self.n = int(dataset_len or len(events["position"]))
         self.rng = np.random.Generator(np.random.Philox(seed))
         self.has_bayer = has_bayer
+        self.interleave = int(interleave)
+        assert self.capacity % max(self.interleave, 1) == 0
 
     def next_batch(self, active_size):
         active = int(min(max(active_size, 1), self.capacity))
         idx = self.rng.integers(0, self.n, size=active)
         cap = self.capacity
+        if self.interleave > 1:
+            shard = cap // self.interleave
+            k = np.arange(active)
+            rows = (k % self.interleave) * shard + k // self.interleave
+        else:
+            rows = np.arange(active)
 
         def take(key, dtype, fill=0):
             arr = self.events[key][idx]
             out = np.full((cap, *arr.shape[1:]), fill, dtype=dtype)
-            out[:active] = arr
+            out[rows] = arr
             return out
 
+        valid = np.zeros(cap, bool)
+        valid[rows] = True
         batch = {
             "position": take("position", np.float32),
             "start_ts": take("start_ts", np.int64),
             "end_ts": take("end_ts", np.int64, fill=1),
             "num_pos": take("num_pos", np.float32),
             "num_neg": take("num_neg", np.float32),
-            "valid": np.arange(cap) < active,
+            "valid": valid,
         }
         if self.has_bayer:
             batch["channel_idx"] = take("channel_idx", np.int32)

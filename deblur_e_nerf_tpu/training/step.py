@@ -121,7 +121,8 @@ def draw_normalized_samples(key, n, sc):
     return normalized
 
 
-def make_render_train_pixels(model, params, consts, occ_state, sc, key):
+def make_render_train_pixels(model, params, consts, occ_state, sc, key,
+                             level_mask=None):
     """Build the (timestamps -> intensity, stats) sampling closure
     (reference: deblur_e_nerf.py:1162-1183 render_train_pixels)."""
     traj = consts["trajectory"]
@@ -143,7 +144,7 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key):
         mask = jnp.broadcast_to(valid, batch_shape).reshape(-1)
         out = nerf_model.render(
             model, params["nerf"], occ_state, flat_o, flat_d, mask,
-            render_key,
+            render_key, level_mask=level_mask,
         )
         radiance = out["radiance"].reshape(
             *batch_shape, -1
@@ -216,7 +217,7 @@ def render_log_intensity(model, params, consts, occ_state, sc, key,
 
 
 def compute_loss(model, params, consts, occ_state, batch, key, sc,
-                 loss_config):
+                 loss_config, level_mask=None):
     """Forward pass producing (scalar loss, metrics dict).
 
     The reference issues four sequential renders per step (diff start/end,
@@ -275,7 +276,8 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
     valid_all = jnp.tile(valid, R)
 
     render_train_pixels = make_render_train_pixels(
-        model, params, consts, occ_state, sc, k_render
+        model, params, consts, occ_state, sc, k_render,
+        level_mask=level_mask,
     )
     if sc.pixel_bandwidth_enabled:
         interval_gen_all = jnp.tile(normalized["interval_gen"], (1, R))
@@ -357,6 +359,10 @@ def make_train_step(model, consts, tx, sc, loss_config,
     """
 
     def step_fn(state, batch, key):
+        # coarse-to-fine grid-level curriculum (None without curriculum
+        # config; the mask is a function of the traced step counter)
+        level_mask = nerf_model.level_mask_for_step(model, state.step)
+
         def loss_fn(params):
             if trainable_mask is not None:
                 params = jax.tree_util.tree_map(
@@ -365,7 +371,7 @@ def make_train_step(model, consts, tx, sc, loss_config,
                 )
             return compute_loss(
                 model, params, consts, state.occ_state, batch, key, sc,
-                loss_config,
+                loss_config, level_mask=level_mask,
             )
 
         (loss_value, metrics), grads = jax.value_and_grad(

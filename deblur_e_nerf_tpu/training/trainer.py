@@ -33,10 +33,29 @@ from . import (checkpoint as checkpoint_lib, evaluation, optim,
 
 class Trainer:
     def __init__(self, config, log_dir, batch_capacity=8192,
-                 field_chunk=0, sample_budget=None):
+                 field_chunk=0, sample_budget=None, mesh_devices=None):
+        """`mesh_devices`: data-parallel mesh size (> 1 shards the event
+        batch over a 1-D `jax.sharding.Mesh`; the TPU-native analog of
+        the reference's DDP plugins, reference: scripts/run.py:84-89).
+        Also readable from config.trainer.mesh_devices."""
         self.config = config
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
+
+        mesh_devices = mesh_devices or int(
+            config.trainer.get("mesh_devices") or 0
+        )
+        self.mesh = None
+        if mesh_devices and int(mesh_devices) > 1:
+            from ..parallel import mesh as mesh_lib
+            if batch_capacity % int(mesh_devices) != 0:
+                raise ValueError(
+                    f"batch_capacity {batch_capacity} must divide by "
+                    f"mesh_devices {mesh_devices}"
+                )
+            self.mesh = mesh_lib.make_mesh(
+                n_devices=int(mesh_devices)
+            )
 
         root = config.data.dataset_directory
         self.bundle, self.params = setup_lib.build(
@@ -111,18 +130,35 @@ class Trainer:
             occ_state=occ_state, step=jnp.asarray(0, jnp.int32),
         )
 
-        self.step_fn = jax.jit(step_lib.make_train_step(
-            self.bundle.model, self.bundle.consts, self.tx,
-            self.bundle.static_config, self.bundle.loss_config,
-            trainable_mask=self.trainable_mask,
-        ))
-        self.occ_update_fn = jax.jit(
-            lambda params, occ_state, key, step:
-            nerf_model.update_occupancy(
-                self.bundle.model, params, occ_state, key,
-                self.bundle.consts["trajectory"].T_wc_position, step,
+        if self.mesh is not None:
+            from ..parallel import data_parallel
+            self.state = data_parallel.replicate(self.mesh, self.state)
+            self.step_fn = data_parallel.make_sharded_train_step(
+                self.bundle.model, self.bundle.consts, self.tx,
+                self.bundle.static_config, self.bundle.loss_config,
+                self.mesh, trainable_mask=self.trainable_mask,
             )
-        )
+            self.occ_update_fn = data_parallel.make_sharded_occ_update(
+                self.bundle.model, self.bundle.consts, self.mesh,
+                step_scale=self.accumulate,
+            )
+        else:
+            self.step_fn = jax.jit(step_lib.make_train_step(
+                self.bundle.model, self.bundle.consts, self.tx,
+                self.bundle.static_config, self.bundle.loss_config,
+                trainable_mask=self.trainable_mask,
+            ))
+            self.occ_update_fn = jax.jit(
+                lambda params, occ_state, key, step:
+                nerf_model.update_occupancy(
+                    self.bundle.model, params, occ_state, key,
+                    self.bundle.consts["trajectory"].T_wc_position, step,
+                    level_mask=nerf_model.level_mask_for_step(
+                        self.bundle.model,
+                        step * jnp.asarray(self.accumulate, jnp.int32),
+                    ),
+                )
+            )
 
         # data
         events = events_data.EventDataset(
@@ -140,6 +176,8 @@ class Trainer:
             seed=int(config.get("seed") or 0),
             dataset_len=dataset_len,
             has_bayer=self.bundle.static_config.has_bayer,
+            interleave=(self.mesh.devices.size
+                        if self.mesh is not None else 1),
         )
         self.batch_controller = pipeline.BatchSizeController(
             target_ray_samples=int(
@@ -202,6 +240,9 @@ class Trainer:
                     self.batch_controller.active
                 )
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.mesh is not None:
+                    from ..parallel import data_parallel
+                    batch = data_parallel.shard_batch(self.mesh, batch)
                 key, k_step = jax.random.split(key)
                 self.state, metrics = self.step_fn(
                     self.state, batch, k_step
@@ -313,6 +354,9 @@ class Trainer:
             occ_state=occ,
             step=jnp.asarray(int(restored["step"]), jnp.int32),
         )
+        if self.mesh is not None:
+            from ..parallel import data_parallel
+            self.state = data_parallel.replicate(self.mesh, self.state)
         self.global_step = int(restored["global_step"])
         return int(restored["epoch"])
 

@@ -43,6 +43,12 @@ def main():
     parser.add_argument("--batch-capacity", type=int, default=8192)
     parser.add_argument("--sample-budget", type=int, default=None)
     parser.add_argument("--field-chunk", type=int, default=0)
+    parser.add_argument(
+        "--mesh", type=int, default=None,
+        help=("data-parallel mesh size: shard the event batch over N "
+              "devices (TPU-native analog of the reference's DDP "
+              "plugins); default single-device"),
+    )
     parser.add_argument("--max-eval-images", type=int, default=None)
     parser.add_argument(
         "--platform", default=None,
@@ -82,6 +88,7 @@ def main():
         config, log_dir, batch_capacity=args.batch_capacity,
         sample_budget=args.sample_budget,
         field_chunk=args.field_chunk,
+        mesh_devices=args.mesh,
     )
 
     start_epoch = 0
