@@ -22,9 +22,10 @@ import cv2
 import numpy as np
 
 
-def orbit_poses(n, radius=3.0, height=0.8, t_end_ns=2_000_000_000):
-    ts = np.linspace(0, t_end_ns, n).astype(np.int64)
-    angle = np.linspace(0, 2 * np.pi, n)
+def orbit_poses(n, radius=3.0, height=0.8, t_end_ns=2_000_000_000,
+                orbits=1):
+    ts = np.linspace(0, t_end_ns * orbits, n).astype(np.int64)
+    angle = np.linspace(0, 2 * np.pi * orbits, n)
     pos = np.stack(
         [radius * np.cos(angle), radius * np.sin(angle),
          np.full(n, height)], axis=1
@@ -116,12 +117,13 @@ def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
 def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
                  num_poses=61, bayer=False, seed=0,
                  contrast_threshold=0.25, refractory_ns=100,
-                 num_views=4, simulate_events=True, num_frames=None):
+                 num_views=4, simulate_events=True, num_frames=None,
+                 orbits=1):
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, W = img_height, img_width
 
-    pos_w, quat, R, pose_ts = orbit_poses(num_poses)
+    pos_w, quat, R, pose_ts = orbit_poses(num_poses, orbits=orbits)
     np.savez(
         os.path.join(root, "camera_poses.npz"),
         T_wc_position=pos_w, T_wc_orientation=quat,
@@ -175,14 +177,14 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
         hit &= t > 0
         p = o[None, None, :] + d * t[..., None]
         tex = (
-            0.5
-            + 0.2 * np.sin(6.0 * p[..., 0]) * np.sin(6.0 * p[..., 1])
-            + 0.15 * np.sin(4.0 * p[..., 2])
-            # higher-frequency detail: denser event streams and a
-            # meaningful fine-level reconstruction target
-            + 0.08 * np.sin(14.0 * p[..., 0] + 7.0 * p[..., 2])
+            0.55
+            + 0.15 * np.sin(6.0 * p[..., 0]) * np.sin(6.0 * p[..., 1])
+            + 0.12 * np.sin(4.0 * p[..., 2])
+            # higher-frequency detail at SUPRA-threshold contrast:
+            # denser event streams and a meaningful fine-level target
+            + 0.10 * np.sin(14.0 * p[..., 0] + 7.0 * p[..., 2])
             * np.sin(11.0 * p[..., 1])
-            + 0.05 * np.sin(23.0 * p[..., 0]) * np.sin(19.0 * p[..., 2])
+            + 0.06 * np.sin(23.0 * p[..., 0]) * np.sin(19.0 * p[..., 2])
         )
         img = np.where(hit, tex, 0.15)
         return img.astype(np.float32)

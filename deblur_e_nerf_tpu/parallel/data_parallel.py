@@ -16,18 +16,22 @@ import jax
 import jax.numpy as jnp
 
 from ..training import step as step_lib
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, batch_axes
 
 
 def batch_shardings(mesh, batch_like):
-    """Leading-axis `data` sharding for every leaf of an event batch."""
-    s = NamedSharding(mesh, P(DATA_AXIS))
+    """Leading-axis sharding (over ALL mesh axes) for every leaf of an
+    event batch — P(('data',)) on a 1-D mesh, P(('replica', 'data')) on
+    a multi-slice mesh."""
+    s = NamedSharding(mesh, P(batch_axes(mesh)))
     return {k: s for k in batch_like}
 
 
 def shard_batch(mesh, batch):
-    """Place a host batch onto the mesh, leading axis over `data`."""
-    return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+    """Place a host batch onto the mesh, leading axis over all axes."""
+    return jax.device_put(
+        batch, NamedSharding(mesh, P(batch_axes(mesh)))
+    )
 
 
 def replicate(mesh, tree):
@@ -49,7 +53,7 @@ def make_sharded_train_step(model, consts, tx, sc, loss_config, mesh,
         trainable_mask=trainable_mask,
     )
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    data = NamedSharding(mesh, P(batch_axes(mesh)))
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),

@@ -13,6 +13,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+REPLICA_AXIS = "replica"
 
 
 def make_mesh(devices=None, n_devices=None):
@@ -27,3 +28,30 @@ def make_mesh(devices=None, n_devices=None):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_multislice_mesh(n_replicas, devices=None, n_devices=None):
+    """A 2-D ('replica', 'data') mesh: the reference's multi-node DDP
+    analog (reference: scripts/run.py num_nodes x gpus). The outer
+    'replica' axis maps across slices/hosts (DCN), the inner 'data' axis
+    within a slice (ICI); the batch shards over BOTH axes, so gradient
+    reduction decomposes into an ICI psum + a DCN psum — the layout
+    jax/XLA exploits when device order follows slice locality
+    (jax.devices() ordering).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % n_replicas != 0:
+        raise ValueError(
+            f"{n} devices do not divide into {n_replicas} replicas"
+        )
+    grid = np.asarray(devices).reshape(n_replicas, n // n_replicas)
+    return Mesh(grid, (REPLICA_AXIS, DATA_AXIS))
+
+
+def batch_axes(mesh):
+    """The mesh axes the event batch shards over (all of them)."""
+    return tuple(mesh.axis_names)

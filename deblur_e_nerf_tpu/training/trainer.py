@@ -53,9 +53,17 @@ class Trainer:
                     f"batch_capacity {batch_capacity} must divide by "
                     f"mesh_devices {mesh_devices}"
                 )
-            self.mesh = mesh_lib.make_mesh(
-                n_devices=int(mesh_devices)
-            )
+            # reference num_nodes analog: a 2-D ('replica', 'data')
+            # mesh across slices/hosts when num_nodes > 1
+            n_nodes = int(config.trainer.get("num_nodes") or 1)
+            if n_nodes > 1:
+                self.mesh = mesh_lib.make_multislice_mesh(
+                    n_nodes, n_devices=int(mesh_devices)
+                )
+            else:
+                self.mesh = mesh_lib.make_mesh(
+                    n_devices=int(mesh_devices)
+                )
 
         root = config.data.dataset_directory
         self.bundle, self.params = setup_lib.build(

@@ -53,8 +53,13 @@ def main():
     parser.add_argument("--data-root", default="/tmp/denerf_quality_ds")
     parser.add_argument("--log-dir", default="/tmp/denerf_quality_log")
     parser.add_argument("--img-size", type=int, default=128)
-    parser.add_argument("--num-poses", type=int, default=181)
-    parser.add_argument("--num-frames", type=int, default=1500)
+    # NOTE: the event simulation renders at pose timestamps, so
+    # num_frames is capped at num_poses — event-timestamp density comes
+    # from dense POSES
+    parser.add_argument("--num-poses", type=int, default=1501)
+    parser.add_argument("--num-frames", type=int, default=1501)
+    parser.add_argument("--contrast-threshold", type=float, default=0.1)
+    parser.add_argument("--orbits", type=int, default=2)
     parser.add_argument("--batch-capacity", type=int, default=8192)
     parser.add_argument("--max-epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
@@ -74,6 +79,8 @@ def main():
             args.data_root, img_height=args.img_size,
             img_width=args.img_size, num_poses=args.num_poses,
             num_frames=args.num_frames, num_views=8,
+            contrast_threshold=args.contrast_threshold,
+            orbits=args.orbits,
         )
     n_events = len(np.load(
         os.path.join(args.data_root, "raw_events.npz")

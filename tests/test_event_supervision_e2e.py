@@ -37,13 +37,13 @@ class AnalyticSphereField(nn.Module):
         density = jnp.where(r <= 1.0, 5000.0, 0.0)
         p = x / jnp.maximum(r, 1e-6)  # project onto the sphere
         tex = (
-            0.5
-            + 0.2 * jnp.sin(6.0 * p[..., 0]) * jnp.sin(6.0 * p[..., 1])
-            + 0.15 * jnp.sin(4.0 * p[..., 2])
+            0.55
+            + 0.15 * jnp.sin(6.0 * p[..., 0]) * jnp.sin(6.0 * p[..., 1])
+            + 0.12 * jnp.sin(4.0 * p[..., 2])
             # keep in sync with data/synthetic.py analytic_image
-            + 0.08 * jnp.sin(14.0 * p[..., 0] + 7.0 * p[..., 2])
+            + 0.10 * jnp.sin(14.0 * p[..., 0] + 7.0 * p[..., 2])
             * jnp.sin(11.0 * p[..., 1])
-            + 0.05 * jnp.sin(23.0 * p[..., 0])
+            + 0.06 * jnp.sin(23.0 * p[..., 0])
             * jnp.sin(19.0 * p[..., 2])
         )
         radiance = tex[..., None] - 1e-3  # dataset log_eps offset

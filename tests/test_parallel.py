@@ -157,3 +157,34 @@ def test_trainer_mesh_path(tmp_path, dp_setup):
     assert tr.mesh is not None and tr.mesh.devices.size == 8
     tr.train()  # raises on non-finite loss
     assert tr.global_step == 2
+
+
+def test_multislice_mesh_numerics(dp_setup):
+    """2-D ('replica', 'data') mesh (the reference num_nodes analog)
+    matches the single-device step numerically."""
+    root, bundle, params, tx = dp_setup
+    mesh = mesh_lib.make_multislice_mesh(2)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    step_single = jax.jit(step_lib.make_train_step(
+        bundle.model, bundle.consts, tx, bundle.static_config,
+        bundle.loss_config,
+    ))
+    step_mesh = data_parallel.make_sharded_train_step(
+        bundle.model, bundle.consts, tx, bundle.static_config,
+        bundle.loss_config, mesh,
+    )
+    state = _make_state(bundle, params, tx)
+    events = events_data.EventDataset(str(root)).events
+    batcher = pipeline.EventBatcher(events, capacity=64, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batcher.next_batch(64).items()}
+    key = jax.random.PRNGKey(7)
+
+    _, m_ref = step_single(state, batch, key)
+    _, m_dp = step_mesh(
+        data_parallel.replicate(mesh, state),
+        data_parallel.shard_batch(mesh, batch), key,
+    )
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_dp["loss"]), rtol=1e-4
+    )
