@@ -21,19 +21,31 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# workload knobs (fixed across rounds for comparability)
+# workload knobs: the BASELINE protocol (reference synthetic config) —
+# train_eff_ray_sample_batch_size = 2^17 event-ray samples per optimizer
+# step (reference: configs/train/synthetic.yaml:19), which at S=30
+# pixel-bandwidth samples and 4 interval endpoints is ~4*30*2^17 = 15.7M
+# marched field samples per step (reference semantics:
+# deblur_e_nerf.py:74,1293-1295 — batch_size = 2^17 / samples_per_ray,
+# each of the 4 renders marches S * batch_size rays)
 IMG_SIZE = 64
 NUM_EVENTS = 200_000
-BATCH_CAPACITY = 2048
-EFF_RAY_SAMPLES = 16384     # target event-ray samples per step (reference
-                            # semantics: active events = EFF / samples-per-ray)
+BATCH_CAPACITY = 4096
+EFF_RAY_SAMPLES = 131072    # reference train_eff_ray_sample_batch_size
 N_SLICES = 4                # interval endpoints rendered per step
 S = 30                      # pixel-bandwidth intensity samples
 SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
-FIELD_CHUNK = 0             # no field remat: activations fit at this K, and
-                            # rematerializing would re-run the hash gathers
+FIELD_CHUNK = 1 << 21       # remat the field per 2M-sample chunk: the
+                            # 15.7M-sample protocol buffer's activations
+                            # exceed HBM without rematerialization
 WARMUP_STEPS = 2
-TIMED_STEPS = 10
+TIMED_STEPS = 5
+
+# analytic per-marched-sample matmul FLOPs of the flagship field
+# (fwd: enc-interp + mlp_base 32->64->16 + SH4 + mlp_head 31->64->64->1;
+# bwd ~2x fwd), for the MFU estimate
+FLOPS_PER_SAMPLE = 63_000
+PEAK_FLOPS = 197e12         # v5e bf16 peak (conservative denominator)
 
 
 def main():
@@ -147,6 +159,7 @@ def main():
               file=sys.stderr, flush=True)
 
     total_rays = 0
+    total_samples = 0
     t0 = time.time()
     for i in range(TIMED_STEPS):
         active = controller.active
@@ -157,13 +170,22 @@ def main():
               f"ovf={float(m['sample_overflow_rate']):.2f}",
               file=sys.stderr, flush=True)
         # N_SLICES interval endpoints x S intensity samples x active events
-        total_rays += N_SLICES * max(sc.it_sample_size, 1) * active
+        n_rays = N_SLICES * max(sc.it_sample_size, 1) * active
+        total_rays += n_rays
+        total_samples += int(
+            n_rays * float(m["mean_num_samples_per_ray"])
+        )
     elapsed = time.time() - t0
 
     if not np.isfinite(float(m["loss"])):
         print("WARNING: non-finite loss in timed steps", file=sys.stderr,
               flush=True)
     rays_per_sec = total_rays / elapsed
+    samples_per_sec = total_samples / elapsed
+    mfu_pct = samples_per_sec * FLOPS_PER_SAMPLE / PEAK_FLOPS * 100
+    print(f"secondary: {samples_per_sec/1e6:.2f}M marched field "
+          f"samples/s (incl. backward), est. MFU {mfu_pct:.3f}% "
+          f"(matmul FLOPs only)", file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

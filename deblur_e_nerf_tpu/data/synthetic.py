@@ -45,12 +45,19 @@ def orbit_poses(n, radius=3.0, height=0.8, t_end_ns=2_000_000_000,
 
 def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
                           contrast_threshold, log_eps=1e-3,
-                          num_frames=None):
+                          num_frames=None, bandwidth_tau_ns=None):
     """Ideal event-camera simulation against the analytic scene.
 
     Renders the scene along the (slerped-as-sampled) pose timeline and
     emits per-pixel log-intensity threshold crossings with linearly
     interpolated timestamps (the ESIM event-generation core).
+
+    `bandwidth_tau_ns`: optional pixel-bandwidth time constant — the
+    per-pixel log intensity is low-pass filtered (1st-order IIR) before
+    threshold crossing, producing MOTION-BLURRED event streams (a
+    simplified stand-in for the reference's 4th-order pixel circuit,
+    reference: models/pixel_bandwidth.py docstring) so the blur model
+    has a real effect to invert.
     Returns (positions (N,2) u16, timestamps (N,) i64 sorted, polarities).
     """
     num_frames = num_frames or len(pose_ts)
@@ -68,6 +75,7 @@ def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
     prev_ts = float(pose_ts[i0])
     C = contrast_threshold
 
+    filt_log = prev_log.copy()
     for fi in frame_idx[1:]:
         i = int(round(fi))
         cur_log = np.log(
@@ -76,6 +84,12 @@ def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
         cur_ts = float(pose_ts[i])
         if cur_ts <= prev_ts:
             continue
+        if bandwidth_tau_ns is not None:
+            alpha = 1.0 - np.exp(
+                -(cur_ts - prev_ts) / float(bandwidth_tau_ns)
+            )
+            filt_log = filt_log + alpha * (cur_log - filt_log)
+            cur_log = filt_log.copy()
         # number of threshold crossings since the reference level
         delta = cur_log - ref_log
         n_events = np.floor(np.abs(delta) / C).astype(np.int64)
@@ -118,7 +132,7 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
                  num_poses=61, bayer=False, seed=0,
                  contrast_threshold=0.25, refractory_ns=100,
                  num_views=4, simulate_events=True, num_frames=None,
-                 orbits=1):
+                 orbits=1, bandwidth_tau_ns=None):
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, W = img_height, img_width
@@ -193,6 +207,7 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
         positions, timestamps, polarities = simulate_event_stream(
             analytic_image, R, pos_w, pose_ts, H, W,
             contrast_threshold, num_frames=num_frames or num_poses,
+            bandwidth_tau_ns=bandwidth_tau_ns,
         )
     else:
         # random events with plausible statistics (fixed bench workload)

@@ -174,7 +174,7 @@ def linearized_sys_omega_c_dominant(params, consts,
     return omega_c
 
 
-def discretized_sys_to_weight(sysd):
+def discretized_sys_to_weight(sysd, matrix_leading_in=False):
     """Collapse the LTV discrete system into per-sample output weights.
 
     y[S-1] = sum_i w[i] u[i] with
@@ -186,9 +186,16 @@ def discretized_sys_to_weight(sysd):
     """
     # matrix-leading layout: tiny (o, n)/(n, m) dims lead, batch dims land
     # on the hardware tiles (see ops/linalg.py)
-    A = jnp.moveaxis(sysd.A, (-2, -1), (1, 2))    # (S-1, n, n, ...)
-    B = jnp.moveaxis(sysd.B, (-2, -1), (1, 2))    # (S-1, n, m, ...)
-    Bt = jnp.moveaxis(sysd.B_tilde, (-2, -1), (1, 2))
+    if matrix_leading_in:
+        # FOH output already (n, n|m, S-1, batch...): only hoist the scan
+        # axis (a major-dim reshuffle — no tile-padding blowup)
+        A = jnp.moveaxis(sysd.A, (0, 1), (1, 2))   # (S-1, n, n, ...)
+        B = jnp.moveaxis(sysd.B, (0, 1), (1, 2))   # (S-1, n, m, ...)
+        Bt = jnp.moveaxis(sysd.B_tilde, (0, 1), (1, 2))
+    else:
+        A = jnp.moveaxis(sysd.A, (-2, -1), (1, 2))    # (S-1, n, n, ...)
+        B = jnp.moveaxis(sysd.B, (-2, -1), (1, 2))    # (S-1, n, m, ...)
+        Bt = jnp.moveaxis(sysd.B_tilde, (-2, -1), (1, 2))
     C = jnp.moveaxis(sysd.C[0], (-2, -1), (0, 1))  # (o, n, ...)
     D = jnp.moveaxis(sysd.D[0], (-2, -1), (0, 1))  # (o, m, ...)
     S = A.shape[0] + 1
@@ -262,9 +269,11 @@ def _weight_remat(output_sf_log_it, params, consts, intensity_sample,
     )
     sysd = control.foh_cont2discrete(
         lin_sys, NS_TO_S * sample_dt, is_state_preserved=True,
-        is_efficient=True,
+        is_efficient=True, matrix_leading_out=True,
     )
-    weight = discretized_sys_to_weight(sysd)  # (S, ..., o, 1)
+    weight = discretized_sys_to_weight(
+        sysd, matrix_leading_in=True
+    )  # (S, ..., o, 1)
     return weight[..., 0]  # (S, ..., o)
 
 

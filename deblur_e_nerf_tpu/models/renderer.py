@@ -391,22 +391,43 @@ def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
     K = rc.sample_budget
     slot_valid = samples.ray_idx < n_rays  # (K+1,); slot K has ray_idx == R
     sigma_dt = sigma * samples.dt * slot_valid
+    # clamp per-sample optical depth: exp(-25) ~ 1.4e-11 is far below any
+    # early_stop_eps (numerically invisible), and an overflowed density
+    # (inf) would otherwise poison the global cumsum with inf - inf = NaN
+    # — nerfacc's serial per-ray transmittance never forms that
+    # difference, our segment-rebased global cumsum does
+    sigma_dt = jnp.minimum(sigma_dt, 25.0)
     alpha = 1.0 - jnp.exp(-sigma_dt)
     if rc.alpha_thre > 0:
         keep = alpha >= rc.alpha_thre
         sigma_dt = sigma_dt * keep
         alpha = alpha * keep
 
-    cum = jnp.cumsum(sigma_dt)
-    seg_base = jnp.where(
-        samples.offsets > 0,
-        cum[jnp.clip(samples.offsets - 1, 0, K)],
-        0.0,
-    )  # (R,)
     safe_ray_idx = jnp.clip(samples.ray_idx, 0, n_rays - 1)
-    trans_excl = jnp.exp(
-        -(cum - sigma_dt - seg_base[safe_ray_idx])
+
+    def excl_optical_depth(sdt, dtype):
+        cum = jnp.cumsum(sdt.astype(dtype))
+        seg_base = jnp.where(
+            samples.offsets > 0,
+            cum[jnp.clip(samples.offsets - 1, 0, K)],
+            0.0,
+        )  # (R,)
+        return (cum - sdt.astype(dtype)
+                - seg_base[safe_ray_idx]).astype(jnp.float32)
+
+    # VALUE in (emulated) float64, GRADIENT through the float32 path:
+    # the global cumsum reaches ~1e5-1e7 at large sample budgets, where
+    # float32 ulp (~0.01-1) injects noise of a whole sample's optical
+    # depth into the per-ray differences — but the f64 cumsum's
+    # *backward* crashes this backend's compiler, and the f32 path's
+    # gradient (a reversed cumsum of small weight-scale cotangents) does
+    # not suffer the same cancellation.
+    optical32 = excl_optical_depth(sigma_dt, jnp.float32)
+    optical64 = excl_optical_depth(
+        jax.lax.stop_gradient(sigma_dt), jnp.float64
     )
+    optical = optical32 + jax.lax.stop_gradient(optical64 - optical32)
+    trans_excl = jnp.exp(-optical)
     live = trans_excl > rc.early_stop_eps
     weights = trans_excl * alpha * live * slot_valid
 

@@ -30,7 +30,7 @@ class StateSpace(NamedTuple):
 
 
 def foh_cont2discrete(system, dt, is_state_preserved=False,
-                      is_efficient=False):
+                      is_efficient=False, matrix_leading_out=False):
     """First-Order-Hold discretization of a batched continuous LTI system.
 
     Args:
@@ -40,6 +40,12 @@ def foh_cont2discrete(system, dt, is_state_preserved=False,
             state (non-standard form with B_tilde); else scipy's standard FOH.
         is_efficient: use expm(A dt) + linear solves (requires invertible A)
             instead of the (n+2m)x(n+2m) embedding exponential.
+        matrix_leading_out: return A/B/B_tilde in MATRIX-LEADING layout
+            (n, n|m, batch...) instead of trailing. Trailing (batch, n, n)
+            arrays tile-pad ~32-64x on TPU ((4,4) minor dims vs (8,128)
+            tiles) — consumers that stay matrix-leading (the
+            pixel-bandwidth weight scan) avoid materializing them.
+            Only supported with is_state_preserved.
     Returns:
         StateSpace of the discretized system (non-standard form when
         is_state_preserved).
@@ -84,6 +90,13 @@ def foh_cont2discrete(system, dt, is_state_preserved=False,
         phi_ml = ms[:n, :n]
         gamma1_ml = ms[:n, n:n + m]
         gamma2_ml = ms[:n, n + m:]
+
+    if matrix_leading_out:
+        assert is_state_preserved
+        return StateSpace(
+            A=phi_ml, B=gamma1_ml - gamma2_ml, C=c, D=d,
+            B_tilde=gamma2_ml,
+        )
 
     phi = jnp.moveaxis(phi_ml, (0, 1), (-2, -1))
     gamma1 = jnp.moveaxis(gamma1_ml, (0, 1), (-2, -1))

@@ -60,6 +60,11 @@ def main():
     parser.add_argument("--num-frames", type=int, default=1501)
     parser.add_argument("--contrast-threshold", type=float, default=0.1)
     parser.add_argument("--orbits", type=int, default=2)
+    parser.add_argument(
+        "--bandwidth-tau-ns", type=float, default=None,
+        help=("simulate motion-blurred events: 1st-order pixel-bandwidth "
+              "LPF time constant in ns (for blur-model quality runs)"),
+    )
     parser.add_argument("--batch-capacity", type=int, default=8192)
     parser.add_argument("--max-epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
@@ -81,6 +86,7 @@ def main():
             num_frames=args.num_frames, num_views=8,
             contrast_threshold=args.contrast_threshold,
             orbits=args.orbits,
+            bandwidth_tau_ns=args.bandwidth_tau_ns,
         )
     n_events = len(np.load(
         os.path.join(args.data_root, "raw_events.npz")
