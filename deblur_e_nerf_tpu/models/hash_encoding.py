@@ -38,10 +38,21 @@ def grid_layout(otype, n_levels, base_resolution, per_level_scale,
                 log2_hashmap_size):
     """Static per-level layout: (resolution, table_size, offset, mode).
 
-    mode: 'dense' (full (res+1)^3 vertex table), 'hash', or 'tiled'.
-    Returns (levels, total_table_size).
+    mode: 'dense' (full (res+1)^3 vertex table), 'hash', 'tiled', or
+    'cellhash'. Returns (levels, total_table_size).
+
+    'CellHashGrid' is a TPU-fast variant of 'HashGrid' (same parameter
+    count): over-capacity levels hash the CELL and store its 8 corner
+    features contiguously in one (8*F)-float row, so the forward is ONE
+    row gather per sample per level instead of 8 (row gathers cost ~the
+    same for 2 or 16 floats on TPU). The trade: corner features are
+    cell-local — neighboring cells no longer share vertex entries, so
+    the encoding is only C0 WITHIN cells at those levels (instant-NGP's
+    hash collisions already break clean sharing there; the MLP smooths).
+    Dense (within-capacity) levels are identical to 'HashGrid'.
     """
-    assert otype in ("HashGrid", "DenseGrid", "TiledGrid")
+    assert otype in ("HashGrid", "DenseGrid", "TiledGrid",
+                     "CellHashGrid")
     hashmap_size = 1 << log2_hashmap_size
     levels = []
     offset = 0
@@ -52,6 +63,8 @@ def grid_layout(otype, n_levels, base_resolution, per_level_scale,
             mode, size = "dense", n_vertices
         elif otype == "HashGrid":
             mode, size = "hash", hashmap_size
+        elif otype == "CellHashGrid":
+            mode, size = "cellhash", hashmap_size
         else:
             mode, size = "tiled", hashmap_size
         # align table segments to 128 lanes for clean TPU layouts
@@ -123,6 +136,27 @@ def _fold_dense_segment_grad(packed_grad, res, F, dtype):
     return vg.reshape((res + 1) ** 3, F)
 
 
+def _cellhash_index_weights(uc, res, size, dtype):
+    """(hashed cell-row index (...,), trilinear weights (..., 8)) for a
+    cellhash level: one row of the (size//8, 8F)-viewed segment per cell
+    (instant-NGP spatial hash of the CELL coordinates)."""
+    corner_offsets = jnp.asarray(_CORNER_OFFSETS)
+    scaled = uc * jnp.asarray(res, dtype=uc.dtype)
+    cell = jnp.clip(jnp.floor(scaled), 0, res - 1)
+    frac = (scaled - cell).astype(dtype)
+    cell = cell.astype(jnp.uint32)
+    h = (
+        cell[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+        ^ cell[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+        ^ cell[..., 2] * jnp.uint32(_HASH_PRIMES[2])
+    ) % jnp.uint32(size // 8)
+    w = jnp.where(
+        corner_offsets.astype(bool), frac[..., None, :],
+        1.0 - frac[..., None, :],
+    )
+    return h.astype(jnp.int32), jnp.prod(w, axis=-1)
+
+
 def _dense_cell_index_weights(uc, res, dtype):
     """(flat cell index (...,), trilinear weights (..., 8)) for a packed
     dense level. Matches `_level_indices_weights` semantics including the
@@ -173,6 +207,14 @@ def _encode_impl(table, u, levels):
             )
             flat, w = _dense_cell_index_weights(uc, res, table.dtype)
             rows = jnp.take(packed, flat, axis=0)  # (..., 8F)
+            rows = rows.reshape(*rows.shape[:-1], 8, F)
+            features.append(jnp.sum(rows * w[..., None], axis=-2))
+        elif mode == "cellhash":
+            packed = jax.lax.slice_in_dim(
+                table, offset, offset + size
+            ).reshape(size // 8, 8 * F)
+            h, w = _cellhash_index_weights(uc, res, size, table.dtype)
+            rows = jnp.take(packed, h, axis=0)  # (..., 8F)
             rows = rows.reshape(*rows.shape[:-1], 8, F)
             features.append(jnp.sum(rows * w[..., None], axis=-2))
         else:
@@ -230,6 +272,16 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
             dense_grads.append((offset, _fold_dense_segment_grad(
                 packed_grad, res, F, table_dtype
             )))
+            continue
+        if mode == "cellhash":
+            h, w = _cellhash_index_weights(uc, res, size, table_dtype)
+            contrib = (
+                w[..., None] * g_level[..., None, :]
+            ).reshape(-1, 8 * F)
+            packed_grad = jnp.zeros(
+                (size // 8, 8 * F), table_dtype
+            ).at[h.reshape(-1)].add(contrib)
+            dense_grads.append((offset, packed_grad.reshape(size, F)))
             continue
         idx, w = _level_indices_weights(
             uc, res, size, offset, mode, table_dtype

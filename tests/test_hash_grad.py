@@ -60,3 +60,52 @@ def test_position_cotangent_is_zero_in_frozen_mode(setup):
 
     g_u = jax.grad(loss)(u)
     np.testing.assert_array_equal(np.asarray(g_u), 0.0)
+
+
+@pytest.fixture(scope="module")
+def cellhash_setup():
+    # base res 8 with scale 2: level 0 dense, levels 1-3 over capacity
+    # -> cellhash
+    levels, total = hash_encoding.grid_layout(
+        "CellHashGrid", 4, 8, 2.0, 10
+    )
+    assert any(lv[3] == "cellhash" for lv in levels)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (total, 2), jnp.float32) * 0.1
+    u = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    return levels, table, u
+
+
+def test_cellhash_forward_paths_agree(cellhash_setup):
+    levels, table, u = cellhash_setup
+    a = hash_encoding.encode(table, u, levels,
+                             differentiable_positions=True)
+    b = hash_encoding.encode(table, u, levels,
+                             differentiable_positions=False)
+    assert a.shape == (257, len(levels) * 2)
+    assert np.all(np.isfinite(np.asarray(a)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cellhash_table_gradient_matches_autodiff(cellhash_setup):
+    levels, table, u = cellhash_setup
+    cotangent = jax.random.normal(
+        jax.random.PRNGKey(2), (257, len(levels) * 2), jnp.float32
+    )
+
+    def loss_ref(t):
+        out = hash_encoding.encode(t, u, levels,
+                                   differentiable_positions=True)
+        return jnp.sum(out * cotangent)
+
+    def loss_fast(t):
+        out = hash_encoding.encode(t, u, levels,
+                                   differentiable_positions=False)
+        return jnp.sum(out * cotangent)
+
+    g_ref = jax.grad(loss_ref)(table)
+    g_fast = jax.grad(loss_fast)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5, atol=1e-6
+    )
+    assert float(jnp.sum(jnp.abs(g_fast))) > 0
