@@ -33,6 +33,7 @@ ray-sample batch invariant (reference: models/deblur_e_nerf.py:1252-1308).
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -405,28 +406,73 @@ def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
 
     safe_ray_idx = jnp.clip(samples.ray_idx, 0, n_rays - 1)
 
-    def excl_optical_depth(sdt, dtype):
-        cum = jnp.cumsum(sdt.astype(dtype))
+    def excl_optical_depth_f32(sdt):
+        cum = jnp.cumsum(sdt)
         seg_base = jnp.where(
             samples.offsets > 0,
             cum[jnp.clip(samples.offsets - 1, 0, K)],
             0.0,
         )  # (R,)
-        return (cum - sdt.astype(dtype)
-                - seg_base[safe_ray_idx]).astype(jnp.float32)
+        return cum - sdt - seg_base[safe_ray_idx]
 
-    # VALUE in (emulated) float64, GRADIENT through the float32 path:
-    # the global cumsum reaches ~1e5-1e7 at large sample budgets, where
-    # float32 ulp (~0.01-1) injects noise of a whole sample's optical
-    # depth into the per-ray differences — but the f64 cumsum's
-    # *backward* crashes this backend's compiler, and the f32 path's
+    def excl_optical_depth_precise(sdt):
+        """Two-level accumulation: float32 cumsums within 64k blocks,
+        float64 block bases, float64 strictly ELEMENTWISE combine.
+        Emulated-f64 is only reliable elementwise on this backend — both
+        large f64 cumsums and f64 gathers fault the device at multi-M
+        sizes — so every gathered quantity is carried as an f32 hi/lo
+        pair and recombined in f64 after the gather."""
+        B = 1 << 16
+        n = sdt.shape[0]
+        n_pad = -(-n // B) * B
+        blocks = jnp.concatenate(
+            [sdt, jnp.zeros((n_pad - n,), sdt.dtype)]
+        ).reshape(-1, B)
+        within = jnp.cumsum(blocks, axis=1)              # f32, bounded
+        totals = within[:, -1].astype(jnp.float64)
+        base = jnp.cumsum(totals) - totals               # (nb,) f64 tiny
+        base_hi = base.astype(jnp.float32)
+        base_lo = (base - base_hi).astype(jnp.float32)
+        flat_w = within.reshape(-1)[:n]                  # f32 (K+1,)
+        blk = jnp.arange(n, dtype=jnp.int32) // B
+        cum = (flat_w.astype(jnp.float64)
+               + base_hi[blk].astype(jnp.float64)
+               + base_lo[blk].astype(jnp.float64))       # f64 elementwise
+        idx = jnp.clip(samples.offsets - 1, 0, K)
+        sb = (flat_w[idx].astype(jnp.float64)
+              + base_hi[idx // B].astype(jnp.float64)
+              + base_lo[idx // B].astype(jnp.float64))
+        sb = jnp.where(samples.offsets > 0, sb, 0.0)     # (R,) f64
+        sb_hi = sb.astype(jnp.float32)
+        sb_lo = (sb - sb_hi).astype(jnp.float32)
+        sb_s = (sb_hi[safe_ray_idx].astype(jnp.float64)
+                + sb_lo[safe_ray_idx].astype(jnp.float64))
+        return (cum - sdt.astype(jnp.float64)
+                - sb_s).astype(jnp.float32)
+
+    # VALUE through the two-level precise path, GRADIENT through the
+    # plain float32 path: the global cumsum reaches ~1e5-1e7 at large
+    # sample budgets, where float32 ulp (~0.01-1) injects noise of a
+    # whole sample's optical depth into the per-ray differences; the
     # gradient (a reversed cumsum of small weight-scale cotangents) does
     # not suffer the same cancellation.
-    optical32 = excl_optical_depth(sigma_dt, jnp.float32)
-    optical64 = excl_optical_depth(
-        jax.lax.stop_gradient(sigma_dt), jnp.float64
-    )
-    optical = optical32 + jax.lax.stop_gradient(optical64 - optical32)
+    optical32 = excl_optical_depth_f32(sigma_dt)
+    # Emulated-f64 at >~1M elements faults this backend's device in any
+    # form (cumsum, gathers, even elementwise in the full step), so the
+    # precise value path is gated by buffer size: quality-scale budgets
+    # (<= 2^20) get the f64-value/f32-gradient correction; larger
+    # buffers fall back to pure f32 (their per-ray optical-depth noise
+    # is a known limitation, ROADMAP.md).
+    if K + 1 <= (1 << 20) and not os.environ.get(
+            "DENERF_NO_PRECISE_OPTICAL"):
+        optical_precise = excl_optical_depth_precise(
+            jax.lax.stop_gradient(sigma_dt)
+        )
+        optical = optical32 + jax.lax.stop_gradient(
+            optical_precise - optical32
+        )
+    else:
+        optical = optical32
     trans_excl = jnp.exp(-optical)
     live = trans_excl > rc.early_stop_eps
     weights = trans_excl * alpha * live * slot_valid
