@@ -6,8 +6,13 @@ reference: configs/train/synthetic.yaml): NGP field (16-level HashGrid,
 2^19 table, 1x64 base + 2x64 head MLPs, SH degree 4), pixel-bandwidth blur
 model with S=30 intensity samples, occupancy-gated marching (128^3 grid),
 4 renders per optimizer step. The reference has no published in-repo
-throughput numbers (BASELINE.md), so vs_baseline is null until a measured
-reference number exists.
+throughput numbers, so vs_baseline is computed against a DERIVED
+reference throughput — the nerfacc+tcnn stack the reference trains on,
+priced at 19.4M occupancy-gated field samples/s (incl. backward) from
+the NerfAcc paper's published instant-NGP benchmark; full derivation and
+caveats in BASELINE.md ("Derived reference throughput"). Both systems
+are priced in samples/s on the same marched-sample workload:
+vs_baseline = samples_per_sec / 19.4e6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,6 +51,12 @@ TIMED_STEPS = 5
 # bwd ~2x fwd), for the MFU estimate
 FLOPS_PER_SAMPLE = 63_000
 PEAK_FLOPS = 197e12         # v5e bf16 peak (conservative denominator)
+# derived reference-stack throughput in marched field samples/s incl.
+# backward (nerfacc 0.3.1 + tcnn instant-NGP training, NerfAcc paper's
+# published benchmark: 20k steps x 2^18 samples in ~270 s on RTX 3090);
+# see BASELINE.md "Derived reference throughput" for the derivation and
+# why this is a LOWER bound on the true ratio
+REF_SAMPLES_PER_SEC = 19.4e6
 
 
 def main():
@@ -190,7 +201,10 @@ def main():
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
-        "vs_baseline": None,
+        # same-workload samples/s ratio vs the derived reference stack
+        # (BASELINE.md); conservative: denominator is the reference's
+        # RAW nerfacc+tcnn core, without its torch event-physics wrapper
+        "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 4),
     }))
 
 

@@ -43,21 +43,99 @@ def orbit_poses(n, radius=3.0, height=0.8, t_end_ns=2_000_000_000,
     return pos, quat, R, ts
 
 
+# diagnostics of the last full-circuit filtering (blur-hardness readout:
+# per-pixel |filtered - sharp| log-intensity deviation, in the same units
+# as the contrast threshold)
+LAST_BLUR_STATS = {}
+
+
+def filter_log_frames_full(log_frames, frame_ts_ns, calib):
+    """Filter per-pixel log intensity through the FULL 4th-order pixel
+    circuit — the generator-side twin of the deblurring model.
+
+    Uses the framework's own linearization + FOH discretization
+    (models/pixel_bandwidth.py `linearize_sys`, ops/control.py
+    `foh_cont2discrete`) in a per-frame `lax.scan`: each frame interval
+    linearizes the NLTI photoreceptor at the interval-endpoint intensity
+    (exactly the model's convention, models/pixel_bandwidth.py
+    `_weight_remat`) and propagates the 4-dim state exactly under a
+    linearly interpolated input. Event streams simulated through this
+    filter are therefore IN the deblurring model's class, making the
+    blur-on vs blur-off comparison well-posed (the reference validates
+    against ESIM simulations of the same circuit, reference:
+    scripts/preprocess_esim.py flags / models/pixel_bandwidth.py:8-53).
+
+    Args:
+        log_frames: (T, P) float32 per-pixel log intensity.
+        frame_ts_ns: (T,) int64 strictly increasing timestamps.
+        calib: camera_calibration dict with the pixel-circuit constants.
+    Returns:
+        (T, P) float32 filtered log intensity (diff-amp output).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import pixel_bandwidth
+    from ..ops import control
+
+    params, consts = pixel_bandwidth.init_pixel_bandwidth(
+        calib, min_ts=0, f_c_dominant_min=1.0,
+        target_cumprob_max_sample_lifetime=0.5,
+    )
+    lf = jnp.asarray(log_frames, jnp.float32)
+    dts_s = (np.diff(np.asarray(frame_ts_ns, np.int64))
+             .astype(np.float64) * 1e-9).astype(np.float32)
+    # init at the DC steady state of the first frame: v=0, p=s=d=log I_0
+    x0 = jnp.stack(
+        [jnp.zeros_like(lf[0]), lf[0], lf[0], lf[0]], axis=-1
+    )  # (P, 4)
+
+    def frame_step(x, inp):
+        u0, u1, dt = inp
+        sys = pixel_bandwidth.linearize_sys(params, consts, jnp.exp(u1))
+        sysd = control.foh_cont2discrete(
+            sys, dt, is_state_preserved=True, is_efficient=True,
+        )
+        x1 = (
+            sysd.A @ x[..., None]
+            + sysd.B * u0[..., None, None]
+            + sysd.B_tilde * u1[..., None, None]
+        )[..., 0]
+        return x1, x1[..., 3]
+
+    def run():
+        _, ys = jax.lax.scan(frame_step, x0, (lf[:-1], lf[1:],
+                                              jnp.asarray(dts_s)))
+        return ys
+
+    try:  # keep generation off an attached accelerator
+        with jax.default_device(jax.devices("cpu")[0]):
+            ys = run()
+    except RuntimeError:
+        ys = run()
+    return np.concatenate(
+        [np.asarray(log_frames[:1]), np.asarray(ys)], axis=0
+    )
+
+
 def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
                           contrast_threshold, log_eps=1e-3,
-                          num_frames=None, bandwidth_tau_ns=None):
+                          num_frames=None, bandwidth_tau_ns=None,
+                          pixel_filter=None, calib=None):
     """Ideal event-camera simulation against the analytic scene.
 
     Renders the scene along the (slerped-as-sampled) pose timeline and
     emits per-pixel log-intensity threshold crossings with linearly
     interpolated timestamps (the ESIM event-generation core).
 
-    `bandwidth_tau_ns`: optional pixel-bandwidth time constant — the
-    per-pixel log intensity is low-pass filtered (1st-order IIR) before
-    threshold crossing, producing MOTION-BLURRED event streams (a
-    simplified stand-in for the reference's 4th-order pixel circuit,
-    reference: models/pixel_bandwidth.py docstring) so the blur model
-    has a real effect to invert.
+    Motion-blur options (the per-pixel log intensity is low-pass
+    filtered before threshold crossing, producing MOTION-BLURRED event
+    streams the deblurring model can invert):
+      - `bandwidth_tau_ns`: 1st-order IIR with the given time constant
+        (a simplified stand-in, kept for backward compatibility);
+      - `pixel_filter='full'`: the reference's full 4th-order pixel
+        circuit (reference: models/pixel_bandwidth.py:8-53), using the
+        constants in `calib` — see `filter_log_frames_full`.
     Returns (positions (N,2) u16, timestamps (N,) i64 sorted, polarities).
     """
     num_frames = num_frames or len(pose_ts)
@@ -67,29 +145,51 @@ def simulate_event_stream(analytic_image_fn, R, pos_w, pose_ts, H, W,
     flat_x = xs.reshape(-1).astype(np.uint16)
     flat_y = ys.reshape(-1).astype(np.uint16)
 
-    i0 = int(frame_idx[0])
-    ref_log = np.log(
-        analytic_image_fn(R[i0], pos_w[i0]) + log_eps
-    ).reshape(-1)
-    prev_log = ref_log.copy()
-    prev_ts = float(pose_ts[i0])
-    C = contrast_threshold
-
-    filt_log = prev_log.copy()
+    # render the (deduplicated, strictly time-increasing) frame timeline
+    used = [int(frame_idx[0])]
     for fi in frame_idx[1:]:
         i = int(round(fi))
-        cur_log = np.log(
+        if float(pose_ts[i]) > float(pose_ts[used[-1]]):
+            used.append(i)
+    frames = np.stack([
+        np.log(
             analytic_image_fn(R[i], pos_w[i]) + log_eps
         ).reshape(-1)
-        cur_ts = float(pose_ts[i])
-        if cur_ts <= prev_ts:
-            continue
-        if bandwidth_tau_ns is not None:
+        for i in used
+    ]).astype(np.float32)  # (T, P)
+    frame_ts = np.asarray([pose_ts[i] for i in used], np.int64)
+
+    if pixel_filter == "full":
+        assert calib is not None, "pixel_filter='full' needs calib"
+        sharp = frames
+        frames = filter_log_frames_full(frames, frame_ts, calib)
+        dev = np.abs(frames - sharp)
+        LAST_BLUR_STATS.clear()
+        LAST_BLUR_STATS.update(
+            mean_abs_log_dev=float(dev.mean()),
+            p95_abs_log_dev=float(np.percentile(dev, 95)),
+            max_abs_log_dev=float(dev.max()),
+        )
+    elif pixel_filter not in (None, "none", "first_order"):
+        raise ValueError(f"unknown pixel_filter {pixel_filter!r}")
+    elif bandwidth_tau_ns is not None:
+        filt = frames[0].copy()
+        for t in range(1, len(frames)):
             alpha = 1.0 - np.exp(
-                -(cur_ts - prev_ts) / float(bandwidth_tau_ns)
+                -float(frame_ts[t] - frame_ts[t - 1])
+                / float(bandwidth_tau_ns)
             )
-            filt_log = filt_log + alpha * (cur_log - filt_log)
-            cur_log = filt_log.copy()
+            filt = filt + alpha * (frames[t] - filt)
+            frames[t] = filt
+
+    ref_log = frames[0].copy()
+    prev_log = frames[0].copy()
+    prev_ts = float(frame_ts[0])
+    C = contrast_threshold
+
+    for t in range(1, len(frames)):
+        cur_log = frames[t]
+        cur_ts = float(frame_ts[t])
         # number of threshold crossings since the reference level
         delta = cur_log - ref_log
         n_events = np.floor(np.abs(delta) / C).astype(np.int64)
@@ -132,7 +232,15 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
                  num_poses=61, bayer=False, seed=0,
                  contrast_threshold=0.25, refractory_ns=100,
                  num_views=4, simulate_events=True, num_frames=None,
-                 orbits=1, bandwidth_tau_ns=None):
+                 orbits=1, bandwidth_tau_ns=None, pixel_filter=None,
+                 bandwidth_scale=1.0):
+    """`bandwidth_scale`: scales EVERY pixel-circuit time constant (and
+    inversely every cutoff frequency) by the factor — a physical sensor
+    with uniformly slower pixels. The scaled constants are both written
+    into camera_calibration.npz (so the deblurring model calibrates to
+    the generator, like the reference calibrates to the real sensor's
+    biases, reference: scripts/eds_to_esim.py:59-79) and used by the
+    `pixel_filter='full'` generator."""
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, W = img_height, img_width
@@ -148,8 +256,8 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
     K = np.array(
         [[focal, 0, W / 2 - 0.5], [0, focal, H / 2 - 0.5], [0, 0, 1]]
     )
-    np.savez(
-        os.path.join(root, "camera_calibration.npz"),
+    s = float(bandwidth_scale)
+    calib = dict(
         img_height=H, img_width=W, intrinsics=K,
         distortion_model="plumb_bob", distortion_params=np.zeros(0),
         bayer_pattern="RGGB" if bayer else "",
@@ -158,14 +266,15 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
         refractory_period=np.asarray(float(refractory_ns)),
         # pixel-bandwidth circuit constants (EDS-like magnitudes,
         # reference: scripts/eds_to_esim.py:59-79)
-        input_time_const_eff_it_prod=np.asarray(1e-4),
-        miller_time_const_eff_it_prod=np.asarray(2e-5),
+        input_time_const_eff_it_prod=np.asarray(1e-4 * s),
+        miller_time_const_eff_it_prod=np.asarray(2e-5 * s),
         amplifier_gain=np.asarray(50.0),
         closed_loop_gain=np.asarray(10.0),
-        output_time_const=np.asarray(1e-4),
-        sf_cutoff_freq=np.asarray(500.0),
-        diff_amp_cutoff_freq=np.asarray(200.0),
+        output_time_const=np.asarray(1e-4 * s),
+        sf_cutoff_freq=np.asarray(500.0 / s),
+        diff_amp_cutoff_freq=np.asarray(200.0 / s),
     )
+    np.savez(os.path.join(root, "camera_calibration.npz"), **calib)
     np.savez(
         os.path.join(root, "renderer_params.npz"),
         interm_color_space="linear", log_eps=np.asarray(1e-3),
@@ -208,6 +317,7 @@ def make_dataset(root, img_height=64, img_width=64, num_events=200_000,
             analytic_image, R, pos_w, pose_ts, H, W,
             contrast_threshold, num_frames=num_frames or num_poses,
             bandwidth_tau_ns=bandwidth_tau_ns,
+            pixel_filter=pixel_filter, calib=calib,
         )
     else:
         # random events with plausible statistics (fixed bench workload)

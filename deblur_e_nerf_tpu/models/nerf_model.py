@@ -38,6 +38,13 @@ class NeRFModel(NamedTuple):
     # (start_levels, steps_per_level) — a TPU-framework extension
     # (instant-NGP-style schedule); None = reference behavior
     curriculum: Optional[Tuple[int, int]] = None
+    # optional fine-level table L2 decay: (start_table_row, weight) —
+    # an L2 penalty on the hash-table segments of levels >=
+    # pos_encoding.fine_table_decay_start_level. Counters the
+    # post-curriculum PSNR fade: fine-level entries absorb
+    # event-supervision noise once unlocked; shrinking unsupported
+    # entries keeps the field at its mid-curriculum peak.
+    table_decay: Optional[Tuple[int, float]] = None
 
 
 def resolve_aabb(nerf_config, camera_positions):
@@ -144,13 +151,26 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         bkgd_mode = "fixed"
 
     curriculum = None
+    table_decay = None
     if nerf_config.arch == "ngp":
-        cur_cfg = nerf_config.ngp.pos_encoding.get("curriculum")
+        pe = nerf_config.ngp.pos_encoding
+        cur_cfg = pe.get("curriculum")
         if cur_cfg and bool(cur_cfg.get("enable", True)):
             curriculum = (
                 int(cur_cfg.get("start_levels", 5)),
                 int(cur_cfg.get("steps_per_level", 500)),
             )
+        decay_w = pe.get("fine_table_decay")
+        if decay_w:
+            from . import hash_encoding
+            start_level = int(pe.get("fine_table_decay_start_level", 8))
+            levels, _ = hash_encoding.grid_layout(
+                pe.otype, int(pe.n_levels), int(pe.base_resolution),
+                float(pe.per_level_scale),
+                int(pe.get("log2_hashmap_size", 19)),
+            )
+            start_level = min(start_level, len(levels) - 1)
+            table_decay = (int(levels[start_level][2]), float(decay_w))
 
     return NeRFModel(
         field=field,
@@ -160,6 +180,7 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         radiance_dim=radiance_dim,
         test_chunk_size=int(nerf_config.test_chunk_size),
         curriculum=curriculum,
+        table_decay=table_decay,
     )
 
 

@@ -72,6 +72,11 @@ class RaySamples(NamedTuple):
     counts: jnp.ndarray    # (R,) int32 valid samples per ray
     offsets: jnp.ndarray   # (R,) int32 exclusive-cumsum of counts
     num_samples: jnp.ndarray  # () int32 total valid samples (may exceed K)
+    # compaction demand of the coarse stages (may exceed their budgets —
+    # the overflow-visibility signal for the block/superblock buffers;
+    # None when the stage did not run)
+    num_blocks: Optional[jnp.ndarray] = None       # () int32
+    num_superblocks: Optional[jnp.ndarray] = None  # () int32
 
 
 def _ray_t_bounds(rays_o, rays_d, rc):
@@ -217,11 +222,27 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
     # ---- stage 1: block pass on the dilated grid -----------------------
     dilated = _dilate_binary(binary, rc.grid_resolution)
 
+    # stage-0 conservativeness needs the superblock-midpoint-to-block-
+    # midpoint distance (<= (SB_BLOCKS*BLOCK_STEPS + BLOCK_STEPS)/2
+    # uniform steps) to fit inside the two pooled dilations — with a
+    # manual render_step_size, high occ resolution, or a strongly
+    # anisotropic aabb the margin can exceed 2 pooled cells, so the
+    # geometry is checked statically and the march falls back to the
+    # full block pass otherwise
+    min_cell_extent = min(
+        (rc.aabb[3 + i] - rc.aabb[i]) / rc.grid_resolution
+        for i in range(3)
+    )
+    sb_reach = (
+        (SB_BLOCKS * BLOCK_STEPS / 2 + BLOCK_STEPS / 2)
+        * rc.render_step_size
+    )
     use_superblocks = (
         rc.cone_angle <= 0.0                      # uniform step timeline
         and rc.grid_resolution % POOL == 0
         and n_blocks % SB_BLOCKS == 0
         and n_blocks >= 2 * SB_BLOCKS
+        and sb_reach <= 2 * POOL * min_cell_extent
     )
     if use_superblocks:
         # ---- stage 0: superblock pass on a pooled+dilated mask ---------
@@ -260,7 +281,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
             jnp.arange(R, dtype=jnp.int32)[:, None] * n_sb
             + jnp.arange(n_sb, dtype=jnp.int32)[None, :]
         )
-        sb_buf, _ = _compact(
+        sb_buf, num_superblocks = _compact(
             sb_valid.reshape(-1), sb_code.reshape(-1), KSB,
             fill=jnp.int32(R * n_sb),
         )  # (KSB + 1,)
@@ -281,6 +302,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         o_c = rays_o[sb_ray][:, None, :]
         d_c = rays_d[sb_ray][:, None, :]
     else:
+        num_superblocks = None
         cand_ray = jnp.broadcast_to(
             jnp.arange(R, dtype=jnp.int32)[:, None], (R, n_blocks)
         )
@@ -314,7 +336,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
     )
     # packed (ray, block) code; ray-major order is preserved by compaction
     blk_code = cand_ray * n_blocks + cand_blk
-    blk_buf, _ = _compact(
+    blk_buf, num_blocks = _compact(
         blk_valid.reshape(-1), blk_code.reshape(-1), KB,
         fill=jnp.int32(R * n_blocks),
     )  # (KB + 1,)
@@ -371,7 +393,90 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         counts=counts,
         offsets=offsets.astype(jnp.int32),
         num_samples=num_samples,
+        num_blocks=num_blocks,
+        num_superblocks=num_superblocks,
     )
+
+
+def _two_sum(a, b):
+    """Error-free transform: a + b = s + err exactly (Knuth TwoSum)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _fast_two_sum(a, b):
+    """Error-free a + b = s + err, requiring |a| >= |b| (Dekker)."""
+    s = a + b
+    return s, b - (s - a)
+
+
+_PRECISE_BLOCK = 1 << 15
+
+
+def excl_segment_cumsum_precise(sdt, offsets, ray_idx, n_rays):
+    """Per-ray EXCLUSIVE prefix sums over a flat ray-contiguous buffer,
+    accurate to ~double precision in pure float32 (double-f32 two-sum).
+
+    The plain f32 global cumsum reaches 1e5-1e7 at large sample budgets,
+    where its ulp (0.01-1) dwarfs a single sample's optical depth — the
+    round-2 training-collapse root cause. The earlier fix carried block
+    bases in emulated float64, which FAULTS this TPU backend beyond ~1M
+    elements; this version is float64-free:
+
+      1. f32 cumsums within 32k blocks (values stay block-scale),
+      2. a compensated (hi, lo) two-sum scan over the ~K/32k block
+         totals — the only serial part, <=512 steps at 16M samples,
+      3. the per-sample exclusive value minus its ray's segment base is
+         assembled from BLOCK-LOCAL differences: rays span <=1024
+         samples, so the hi-part difference crosses at most one block
+         boundary and all rounding is relative to block-scale
+         quantities, never the global sum.
+
+    Args:
+        sdt: (K1,) float32 per-sample values (ray-contiguous).
+        offsets: (R,) int32 exclusive cumsum of per-ray counts.
+        ray_idx: (K1,) int32 owning ray per sample (>= n_rays: inactive).
+        n_rays: static int R.
+    Returns:
+        (K1,) float32: cumsum(sdt)[i] - sdt[i] - segment_base[ray(i)].
+    """
+    K1 = sdt.shape[0]
+    B = _PRECISE_BLOCK
+    n_pad = -(-K1 // B) * B
+    blocks = jnp.concatenate(
+        [sdt, jnp.zeros((n_pad - K1,), sdt.dtype)]
+    ).reshape(-1, B)
+    within = jnp.cumsum(blocks, axis=1)              # f32, block-scale
+    totals = within[:, -1]                           # (nb,)
+
+    def body(carry, t):
+        hi, lo = carry
+        s, e = _two_sum(hi, t)
+        lo2 = lo + e
+        hi2, lo3 = _fast_two_sum(s, lo2)
+        return (hi2, lo3), (hi, lo)                  # exclusive outputs
+
+    zero = jnp.zeros((), sdt.dtype)
+    _, (base_hi, base_lo) = jax.lax.scan(body, (zero, zero), totals)
+
+    flat_w = within.reshape(-1)[:K1]
+    blk = jnp.arange(K1, dtype=jnp.int32) // B
+    safe_ray = jnp.clip(ray_idx, 0, n_rays - 1)
+
+    idx = jnp.clip(offsets - 1, 0, K1 - 1)           # (R,)
+    has = offsets > 0
+    seg_w = jnp.where(has, flat_w[idx], 0.0)
+    seg_b = jnp.where(has, idx // B, 0)
+    seg_hi = jnp.where(has, base_hi[seg_b], 0.0)
+    seg_lo = jnp.where(has, base_lo[seg_b], 0.0)
+
+    d_hi = base_hi[blk] - seg_hi[safe_ray]
+    d_lo = base_lo[blk] - seg_lo[safe_ray]
+    local = (flat_w - sdt) - seg_w[safe_ray]
+    s1, e1 = _two_sum(d_hi, local)
+    return s1 + (e1 + d_lo)
 
 
 def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
@@ -415,58 +520,20 @@ def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
         )  # (R,)
         return cum - sdt - seg_base[safe_ray_idx]
 
-    def excl_optical_depth_precise(sdt):
-        """Two-level accumulation: float32 cumsums within 64k blocks,
-        float64 block bases, float64 strictly ELEMENTWISE combine.
-        Emulated-f64 is only reliable elementwise on this backend — both
-        large f64 cumsums and f64 gathers fault the device at multi-M
-        sizes — so every gathered quantity is carried as an f32 hi/lo
-        pair and recombined in f64 after the gather."""
-        B = 1 << 16
-        n = sdt.shape[0]
-        n_pad = -(-n // B) * B
-        blocks = jnp.concatenate(
-            [sdt, jnp.zeros((n_pad - n,), sdt.dtype)]
-        ).reshape(-1, B)
-        within = jnp.cumsum(blocks, axis=1)              # f32, bounded
-        totals = within[:, -1].astype(jnp.float64)
-        base = jnp.cumsum(totals) - totals               # (nb,) f64 tiny
-        base_hi = base.astype(jnp.float32)
-        base_lo = (base - base_hi).astype(jnp.float32)
-        flat_w = within.reshape(-1)[:n]                  # f32 (K+1,)
-        blk = jnp.arange(n, dtype=jnp.int32) // B
-        cum = (flat_w.astype(jnp.float64)
-               + base_hi[blk].astype(jnp.float64)
-               + base_lo[blk].astype(jnp.float64))       # f64 elementwise
-        idx = jnp.clip(samples.offsets - 1, 0, K)
-        sb = (flat_w[idx].astype(jnp.float64)
-              + base_hi[idx // B].astype(jnp.float64)
-              + base_lo[idx // B].astype(jnp.float64))
-        sb = jnp.where(samples.offsets > 0, sb, 0.0)     # (R,) f64
-        sb_hi = sb.astype(jnp.float32)
-        sb_lo = (sb - sb_hi).astype(jnp.float32)
-        sb_s = (sb_hi[safe_ray_idx].astype(jnp.float64)
-                + sb_lo[safe_ray_idx].astype(jnp.float64))
-        return (cum - sdt.astype(jnp.float64)
-                - sb_s).astype(jnp.float32)
-
-    # VALUE through the two-level precise path, GRADIENT through the
+    # VALUE through the double-f32 precise path, GRADIENT through the
     # plain float32 path: the global cumsum reaches ~1e5-1e7 at large
     # sample budgets, where float32 ulp (~0.01-1) injects noise of a
     # whole sample's optical depth into the per-ray differences; the
     # gradient (a reversed cumsum of small weight-scale cotangents) does
-    # not suffer the same cancellation.
+    # not suffer the same cancellation. The precise path is float64-free
+    # (emulated f64 faults this backend's device beyond ~1M elements),
+    # so it runs at EVERY buffer size — eval renders and the protocol
+    # bench included.
     optical32 = excl_optical_depth_f32(sigma_dt)
-    # Emulated-f64 at >~1M elements faults this backend's device in any
-    # form (cumsum, gathers, even elementwise in the full step), so the
-    # precise value path is gated by buffer size: quality-scale budgets
-    # (<= 2^20) get the f64-value/f32-gradient correction; larger
-    # buffers fall back to pure f32 (their per-ray optical-depth noise
-    # is a known limitation, ROADMAP.md).
-    if K + 1 <= (1 << 20) and not os.environ.get(
-            "DENERF_NO_PRECISE_OPTICAL"):
-        optical_precise = excl_optical_depth_precise(
-            jax.lax.stop_gradient(sigma_dt)
+    if not os.environ.get("DENERF_NO_PRECISE_OPTICAL"):
+        optical_precise = excl_segment_cumsum_precise(
+            jax.lax.stop_gradient(sigma_dt), samples.offsets,
+            samples.ray_idx, n_rays,
         )
         optical = optical32 + jax.lax.stop_gradient(
             optical_precise - optical32
@@ -543,11 +610,26 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
     colors, opacities, depths, num_rendering_samples = composite(
         density[..., 0], rgb, samples, R, rc, render_bkgd
     )
-    return {
+    KB = rc.block_budget or max(rc.sample_budget // 4, 1)
+    out = {
         "radiance": colors,
         "opacity": opacities,
         "depth": depths / (opacities + rc.opacity_eps),
         "num_rendering_samples": num_rendering_samples,
         "num_marched_samples": samples.num_samples,
         "counts": samples.counts,
+        # coarse-stage compaction demand / capacity: > 1.0 means whole
+        # ray segments were silently truncated BEFORE the sample stage
+        # (invisible to sample_overflow_rate) — the visibility signal
+        # the block/superblock buffers need
+        "block_overflow_rate": (
+            samples.num_blocks.astype(jnp.float32) / KB
+            if samples.num_blocks is not None else jnp.float32(0.0)
+        ),
+        "superblock_overflow_rate": (
+            samples.num_superblocks.astype(jnp.float32)
+            / max(KB // 2, 1)
+            if samples.num_superblocks is not None else jnp.float32(0.0)
+        ),
     }
+    return out

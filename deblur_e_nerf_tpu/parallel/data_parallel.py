@@ -27,11 +27,35 @@ def batch_shardings(mesh, batch_like):
     return {k: s for k in batch_like}
 
 
-def shard_batch(mesh, batch):
-    """Place a host batch onto the mesh, leading axis over all axes."""
-    return jax.device_put(
-        batch, NamedSharding(mesh, P(batch_axes(mesh)))
-    )
+def shard_batch(mesh, batch, force_global_build=False):
+    """Place a host batch onto the mesh, leading axis over all axes.
+
+    Single-process (one host driving every mesh device): a plain
+    `device_put`. Multi-process (multislice / multi-host meshes, where
+    each process only addresses its local devices): every host runs the
+    SAME `EventBatcher` stream (identical seed -> identical global
+    batch, the design invariant of `training/pipeline.py`), and the
+    global array is assembled per-process from the host-local rows via
+    `jax.make_array_from_callback` — the runtime pulls from each
+    callback only the shards addressable on that process. This is the
+    host-side half of the reference's DDP data feeding
+    (data/datamodule.py:85-91) without any cross-host traffic.
+
+    `force_global_build` exercises the multi-process assembly path on a
+    single process (tests).
+    """
+    sharding = NamedSharding(mesh, P(batch_axes(mesh)))
+    if jax.process_count() == 1 and not force_global_build:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return {k: put(v) for k, v in batch.items()}
 
 
 def replicate(mesh, tree):

@@ -71,8 +71,8 @@ def ssim(pred, target, data_range, kernel_size=11, sigma=1.5,
     return float(np.mean(num / den))
 
 
-_LPIPS_MODEL = None
-_LPIPS_UNAVAILABLE = False
+_LPIPS_MODEL = None          # (cache_key, torch module)
+_LPIPS_UNAVAILABLE = None    # cache_key of a failed build
 
 
 def _build_lpips_alex(weights_path):
@@ -184,18 +184,25 @@ def lpips(pred, target, min_target_val, max_target_val, net="alex",
     (reference: metric.py:84-90). Returns None when no local pretrained
     weights are configured (zero-egress environment)."""
     global _LPIPS_MODEL, _LPIPS_UNAVAILABLE
-    if _LPIPS_UNAVAILABLE or weights_path is None:
+    if weights_path is None:
         return None
-    if _LPIPS_MODEL is None:
-        if net != "alex":
-            raise NotImplementedError(
-                f"native LPIPS backbone {net!r} (only 'alex')"
-            )
+    # the cache is keyed on (net, weights_path): a later call with a
+    # different config must not silently reuse the old model, and an
+    # unsupported net degrades to NaN like every other failure path
+    # (an exception here would crash evaluation mid-training)
+    cache_key = (net, str(weights_path))
+    if _LPIPS_UNAVAILABLE == cache_key:
+        return None
+    if _LPIPS_MODEL is None or _LPIPS_MODEL[0] != cache_key:
         try:
-            _LPIPS_MODEL = _build_lpips_alex(weights_path)
+            if net != "alex":
+                raise NotImplementedError(
+                    f"native LPIPS backbone {net!r} (only 'alex')"
+                )
+            _LPIPS_MODEL = (cache_key, _build_lpips_alex(weights_path))
         except Exception as e:
             print(f"LPIPS unavailable ({e}); recording NaN")
-            _LPIPS_UNAVAILABLE = True
+            _LPIPS_UNAVAILABLE = cache_key
             return None
     import torch
     rng = max_target_val - min_target_val
@@ -207,7 +214,7 @@ def lpips(pred, target, min_target_val, max_target_val, net="alex",
         p = p.expand(-1, 3, -1, -1)
         t = t.expand(-1, 3, -1, -1)
     with torch.no_grad():
-        return float(_LPIPS_MODEL(p, t).mean())
+        return float(_LPIPS_MODEL[1](p, t).mean())
 
 
 def compute_all(pred, target, min_target_val, max_target_val,

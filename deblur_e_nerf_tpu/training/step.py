@@ -174,6 +174,8 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key,
             # stays too big, and most rays render empty (a training
             # collapse, not just a perf bug)
             "num_marched_samples": out["num_marched_samples"],
+            "block_overflow_rate": out["block_overflow_rate"],
+            "superblock_overflow_rate": out["superblock_overflow_rate"],
             "num_rays": jnp.sum(valid) * (
                 batch_shape[0] if len(batch_shape) == 2 else 1
             ),
@@ -181,39 +183,6 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key,
         return intensity, stats, is_valid
 
     return render_train_pixels
-
-
-def render_log_intensity(model, params, consts, occ_state, sc, key,
-                         ts, ts_delta, pixel_position, channel_idx,
-                         valid, interval_gen, reset_state, reset_diff):
-    """Log-intensity at event pixels, optionally through the
-    pixel-bandwidth model (reference: deblur_e_nerf.py:1129-1160).
-    `ts` is an int64 ns base, `ts_delta` a float32 offset."""
-    render_train_pixels = make_render_train_pixels(
-        model, params, consts, occ_state, sc, key
-    )
-    if sc.pixel_bandwidth_enabled:
-        def sampling_fn(sample_ts, sample_ts_delta):
-            return render_train_pixels(
-                sample_ts, sample_ts_delta, pixel_position, channel_idx,
-                valid, key,
-            )
-
-        log_it, aux, new_reset_state = pixel_bandwidth.forward(
-            params["pixel_bandwidth"], consts["pixel_bandwidth"],
-            interval_gen, ts, sampling_fn,
-            reset_state=reset_state, reset_diff=reset_diff,
-            output_ts_delta=ts_delta,
-        )
-        stats, is_valid = aux
-        is_valid = jnp.any(is_valid, axis=0)
-    else:
-        intensity, stats, is_valid = render_train_pixels(
-            ts, ts_delta, pixel_position, channel_idx, valid, key
-        )
-        log_it = jnp.log(intensity)
-        new_reset_state = reset_state
-    return log_it, stats, is_valid, new_reset_state
 
 
 def compute_loss(model, params, consts, occ_state, batch, key, sc,
@@ -325,6 +294,16 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
     total = sum(
         v * weights[name] for name, v in mean_losses.items()
     )
+    if model.table_decay is not None:
+        # fine-level hash-table L2 (see NeRFModel.table_decay): grad is
+        # decay_w * row — plain (uncoupled-through-Adam) weight decay on
+        # the noise-absorbing fine segments
+        start_row, decay_w = model.table_decay
+        fine = params["nerf"]["field"]["table"][start_row:]
+        table_decay_loss = 0.5 * decay_w * jnp.sum(jnp.square(fine))
+        total = total + table_decay_loss
+        mean_losses = dict(mean_losses,
+                           fine_table_decay=table_decay_loss)
 
     metrics = {
         "loss": total,
@@ -337,6 +316,8 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
             stats["num_marched_samples"].astype(jnp.float32)
             / float(model.render_config.sample_budget)
         ),
+        "block_overflow_rate": stats["block_overflow_rate"],
+        "superblock_overflow_rate": stats["superblock_overflow_rate"],
         "mean_ray_occ_rate": stats["mean_ray_occ_rate"],
         "mean_valid_rate": loss_lib.masked_mean(
             ((diff or subdiff)["is_valid"]).astype(jnp.float32), valid

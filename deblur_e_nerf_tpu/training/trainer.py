@@ -195,6 +195,21 @@ class Trainer:
             capacity=batch_capacity,
         )
 
+        # optional Polyak-averaged eval params (config.trainer.ema_decay;
+        # a TPU-framework extension): evaluation reads an EMA of the
+        # train params, smoothing the per-step hash-table noise that
+        # drives the post-curriculum PSNR fade
+        self.ema_decay = float(trainer_cfg.get("ema_decay") or 0.0)
+        self.ema_params = None
+        if self.ema_decay > 0.0:
+            self.ema_params = self.state.params
+            d = self.ema_decay
+            self._ema_fn = jax.jit(
+                lambda ema, p: jax.tree_util.tree_map(
+                    lambda e, q: e * d + q * (1.0 - d), ema, p
+                )
+            )
+
         # logging
         try:
             from tensorboardX import SummaryWriter
@@ -255,6 +270,10 @@ class Trainer:
                 self.state, metrics = self.step_fn(
                     self.state, batch, k_step
                 )
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_fn(
+                        self.ema_params, self.state.params
+                    )
                 self.global_step += 1
                 if profile_steps \
                         and self.global_step == int(profile_steps[1]):
@@ -281,7 +300,17 @@ class Trainer:
                     self._log_physics_params()
             if on_epoch_end is not None:
                 on_epoch_end(self, epoch)
-            self.save_checkpoint(epoch)
+            # config.checkpoint semantics (reference: scripts/run.py:69-73
+            # ModelCheckpoint kwargs): save every_n_epochs-th epoch (and
+            # always the last, so resume never loses the run), keep only
+            # the save_top_k most recent (monitor is null in every
+            # reference config -> recency; -1 keeps all)
+            ckpt_cfg = self.config.get("checkpoint") or {}
+            every_n = int(ckpt_cfg.get("every_n_epochs") or 1)
+            if (epoch + 1) % every_n == 0 or epoch == self.max_epochs - 1:
+                self.save_checkpoint(epoch)
+                self._prune_checkpoints(int(ckpt_cfg.get("save_top_k",
+                                                         -1)))
         elapsed = time.time() - t_start
         return elapsed
 
@@ -318,7 +347,7 @@ class Trainer:
         path = os.path.join(
             self.log_dir, "checkpoints", f"epoch_{epoch:04d}"
         )
-        checkpoint_lib.save(path, {
+        payload = {
             "params": jax.tree_util.tree_map(np.asarray,
                                              self.state.params),
             "opt_state": jax.tree_util.tree_map(
@@ -331,13 +360,35 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
             "global_step": self.global_step,
-        })
+        }
+        if self.ema_params is not None:
+            payload["ema_params"] = jax.tree_util.tree_map(
+                np.asarray, self.ema_params
+            )
+        checkpoint_lib.save(path, payload)
+
+    def _prune_checkpoints(self, save_top_k):
+        """Keep only the `save_top_k` most recent epoch checkpoints
+        (monitor-less ModelCheckpoint recency semantics); k <= 0 keeps
+        all (Lightning's -1)."""
+        if save_top_k <= 0:
+            return
+        ckpt_dir = os.path.join(self.log_dir, "checkpoints")
+        if not os.path.isdir(ckpt_dir):
+            return
+        epochs = sorted(
+            d for d in os.listdir(ckpt_dir) if d.startswith("epoch_")
+        )
+        for stale in epochs[:-save_top_k]:
+            import shutil
+            shutil.rmtree(os.path.join(ckpt_dir, stale),
+                          ignore_errors=True)
 
     def resume(self, path):
         """Full crash-resume: params + optimizer + occupancy + counters
         (reference: Lightning resume_from_checkpoint,
         configs/train/synthetic.yaml trainer comment)."""
-        restored = checkpoint_lib.restore(path, target={
+        target = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "occ_state": {
@@ -347,7 +398,23 @@ class Trainer:
             "step": 0,
             "epoch": 0,
             "global_step": 0,
-        })
+        }
+        if self.ema_params is not None:
+            target["ema_params"] = self.ema_params
+        try:
+            restored = checkpoint_lib.restore(path, target=target)
+        except Exception:
+            if "ema_params" not in target:
+                raise
+            # checkpoint predates ema tracking: restore without it and
+            # re-seed the EMA from the restored params
+            target.pop("ema_params")
+            restored = checkpoint_lib.restore(path, target=target)
+        if self.ema_params is not None:
+            self.ema_params = jax.tree_util.tree_map(
+                jnp.asarray,
+                restored.get("ema_params", restored["params"]),
+            )
         occ = self.state.occ_state._replace(
             occs=jnp.asarray(restored["occ_state"]["occs"]),
             binary=jnp.asarray(restored["occ_state"]["binary"]),
@@ -443,9 +510,11 @@ class Trainer:
             n = min(n, max_images)
         outputs = []
         sc = self.bundle.static_config
+        eval_params = (self.ema_params if self.ema_params is not None
+                       else self.state.params)
         for i in range(n):
             img = render_image(
-                self.state.params["nerf"], self.state.occ_state,
+                eval_params["nerf"], self.state.occ_state,
                 intrinsics_inv, pixel_pos,
                 jnp.asarray(data["T_wc_position"][i]),
                 jnp.asarray(data["T_wc_orientation"][i]),

@@ -281,16 +281,29 @@ def extract_rosbag(rosbag_path):
 
     topics = [EVENT_TOPIC, POSE_TOPIC, CAMERA_INFO_TOPIC, IMU_TOPIC]
     bag = rosbag.Bag(rosbag_path)
+    return extract_messages(tqdm.tqdm(
+        ((topic, msg) for topic, msg, _ in
+         bag.read_messages(topics=topics)),
+        total=bag.get_message_count(topic_filters=topics),
+    ))
+
+
+def extract_messages(messages):
+    """Accumulate the four ESIM streams from (topic, msg) pairs.
+
+    The message-loop core of the preprocessor
+    (reference: scripts/preprocess_esim.py:382-437), factored to take
+    ANY iterator of duck-typed ROS messages so rosbag-free fixtures can
+    drive the exact production path end-to-end (`extract_rosbag` is a
+    thin rosbag adapter over this).
+    """
     event_position, event_timestamp, event_polarity = [], [], []
     T_wc_position, T_wc_orientation, T_wc_timestamp = [], [], []
     imu_timestamp = []
     img_height = img_width = None
     intrinsics = distortion_params = distortion_model = None
 
-    for topic, msg, _ in tqdm.tqdm(
-        bag.read_messages(topics=topics),
-        total=bag.get_message_count(topic_filters=topics),
-    ):
+    for topic, msg in messages:
         if topic == EVENT_TOPIC:
             for event in msg.events:
                 event_position.append((event.x, event.y))

@@ -65,6 +65,17 @@ def main():
         help=("simulate motion-blurred events: 1st-order pixel-bandwidth "
               "LPF time constant in ns (for blur-model quality runs)"),
     )
+    parser.add_argument(
+        "--pixel-filter", default=None, choices=["none", "full"],
+        help=("'full': simulate events through the reference's full "
+              "4th-order pixel circuit (the deblurring model's class)"),
+    )
+    parser.add_argument(
+        "--bandwidth-scale", type=float, default=1.0,
+        help=("scale every pixel-circuit time constant (heavier blur); "
+              "written into the dataset calibration so the model "
+              "calibrates to the generator"),
+    )
     parser.add_argument("--batch-capacity", type=int, default=8192)
     parser.add_argument("--max-epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
@@ -87,6 +98,8 @@ def main():
             contrast_threshold=args.contrast_threshold,
             orbits=args.orbits,
             bandwidth_tau_ns=args.bandwidth_tau_ns,
+            pixel_filter=args.pixel_filter,
+            bandwidth_scale=args.bandwidth_scale,
         )
     n_events = len(np.load(
         os.path.join(args.data_root, "raw_events.npz")

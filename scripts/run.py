@@ -64,6 +64,13 @@ def main():
     config = load_config(args.config)
     config.git_head_hash = git_head_hash()
 
+    # `seed: null` -> fresh random seed, recorded in the config copy so
+    # the run stays reproducible (reference: scripts/run.py:32
+    # pl.seed_everything(config.seed) with seed=None drawing randomly)
+    if config.get("seed") is None:
+        import random
+        config.seed = random.SystemRandom().randrange(1 << 31)
+
     # reference: torch.set_float32_matmul_precision(config.float32_...)
     precision = config.get("float32_matmul_precision")
     if precision is not None:

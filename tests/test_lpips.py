@@ -80,3 +80,67 @@ def test_lpips_scores_with_stub_weights(weights_path):
         a[0], b[0], 0.0, 1.0, lpips_weights_path=weights_path
     )
     assert np.isfinite(out["lpips"])
+
+
+def test_lpips_vgg_net_records_nan_instead_of_crashing(weights_path):
+    """ADVICE r2: an unsupported `metric.lpips_net` must degrade to NaN
+    (None) like every other LPIPS failure path, not raise mid-eval."""
+    a = np.zeros((1, 1, 32, 32), np.float64)
+    b = np.ones((1, 1, 32, 32), np.float64)
+    out = metrics.lpips(a, b, 0.0, 1.0, net="vgg",
+                        weights_path=weights_path)
+    assert out is None
+    # and the failure is cached per (net, path): repeat is silent
+    assert metrics.lpips(a, b, 0.0, 1.0, net="vgg",
+                         weights_path=weights_path) is None
+    # a subsequent supported-net call with the same path must NOT be
+    # poisoned by the cached failure
+    out_alex = metrics.lpips(a, b, 0.0, 1.0, net="alex",
+                             weights_path=weights_path)
+    assert out_alex is not None and np.isfinite(out_alex)
+
+
+def test_lpips_cache_keyed_on_weights_path(tmp_path, weights_path):
+    """ADVICE r2: the model cache must refresh when weights_path (or
+    net) changes rather than silently reusing the first model."""
+    import torch
+    a = np.random.default_rng(0).uniform(0, 1, (1, 1, 64, 64))
+    b = np.random.default_rng(1).uniform(0, 1, (1, 1, 64, 64))
+    v1 = metrics.lpips(a, b, 0.0, 1.0, weights_path=weights_path)
+    # different weights -> different score through the same call path
+    state = _stub_state_dict()
+    for i in range(5):
+        state[f"lin{i}.model.1.weight"] = (
+            state[f"lin{i}.model.1.weight"] * 3.0
+        )
+    path2 = tmp_path / "lpips_alex_v2.pt"
+    torch.save(state, str(path2))
+    v2 = metrics.lpips(a, b, 0.0, 1.0, weights_path=str(path2))
+    assert v1 is not None and v2 is not None
+    assert abs(v2 - 3.0 * v1) < 1e-5 * max(1.0, abs(v2))
+
+
+def test_lpips_golden_fixture():
+    """Golden parity vs the OFFICIAL lpips package: runs when the
+    fixture exported by scripts/export_lpips_weights.py (real
+    pretrained weights + package outputs) is present; skips in
+    zero-egress environments that cannot produce it."""
+    import os
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "lpips_alex_golden.npz")
+    wts = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "lpips_alex.pt")
+    if not (os.path.isfile(fix) and os.path.isfile(wts)):
+        pytest.skip("real-weight LPIPS fixture not exported "
+                    "(zero-egress environment)")
+    data = np.load(fix)
+    metrics._LPIPS_MODEL = None
+    metrics._LPIPS_UNAVAILABLE = None
+    model = metrics._build_lpips_alex(wts)
+    import torch
+    with torch.no_grad():
+        got = model(
+            torch.from_numpy(data["a"]), torch.from_numpy(data["b"])
+        ).reshape(-1).numpy()
+    np.testing.assert_allclose(got, data["lpips"], rtol=1e-5,
+                               atol=1e-6)

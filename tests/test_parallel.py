@@ -188,3 +188,22 @@ def test_multislice_mesh_numerics(dp_setup):
     np.testing.assert_allclose(
         float(m_ref["loss"]), float(m_dp["loss"]), rtol=1e-4
     )
+
+
+def test_multiprocess_batch_assembly_matches_device_put(dp_setup):
+    """The multi-host feeding path (make_array_from_callback assembly,
+    used when jax.process_count() > 1) must produce the same sharded
+    global batch as the single-controller device_put path."""
+    root, bundle, params, tx = dp_setup
+    from deblur_e_nerf_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(n_devices=8)
+    events = events_data.EventDataset(str(root)).events
+    batcher = pipeline.EventBatcher(events, capacity=64, seed=3,
+                                    interleave=8)
+    batch = batcher.next_batch(40)
+    a = data_parallel.shard_batch(mesh, batch)
+    b = data_parallel.shard_batch(mesh, batch, force_global_build=True)
+    for k in batch:
+        assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]),
+                                      np.asarray(b[k]))

@@ -249,3 +249,58 @@ def test_stratified_jitter_changes_samples():
         np.asarray(out1["radiance"]), np.asarray(out0["radiance"]),
         atol=0.1,
     )
+
+
+def test_precise_excl_segment_cumsum_16m():
+    """Double-f32 exclusive segment cumsum vs a float64 oracle at an
+    eval-scale buffer (16M+ samples) — the size that used to fall back
+    to the noisy pure-f32 path behind the old `K+1 <= 2^20` gate."""
+    rng = np.random.default_rng(0)
+    n_rays = 34_000
+    counts = rng.integers(0, 1025, n_rays)
+    total = int(counts.sum())
+    assert total > (1 << 24)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+        np.int32
+    )
+    ray_idx = np.repeat(
+        np.arange(n_rays, dtype=np.int32), counts
+    )
+    sdt = rng.uniform(0.0, 0.2, total).astype(np.float32)
+
+    got = np.asarray(renderer.excl_segment_cumsum_precise(
+        jnp.asarray(sdt), jnp.asarray(offsets), jnp.asarray(ray_idx),
+        n_rays,
+    ))
+
+    cum64 = np.cumsum(sdt.astype(np.float64))
+    seg_base = np.where(
+        offsets > 0, cum64[np.maximum(offsets - 1, 0)], 0.0
+    )
+    want = cum64 - sdt.astype(np.float64) - seg_base[ray_idx]
+    # pure f32 would err by ~ulp(1e6) ~ 0.06-0.25 here; the double-f32
+    # path must stay well below one sample's scale everywhere
+    err = np.abs(got - want)
+    assert err.max() < 2e-3, err.max()
+    assert np.mean(err) < 2e-4
+
+
+def test_precise_excl_cumsum_matches_f32_when_small():
+    rng = np.random.default_rng(1)
+    n_rays = 64
+    counts = rng.integers(0, 64, n_rays)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+        np.int32
+    )
+    ray_idx = np.repeat(np.arange(n_rays, dtype=np.int32), counts)
+    sdt = rng.uniform(0.0, 0.5, int(counts.sum())).astype(np.float32)
+    got = np.asarray(renderer.excl_segment_cumsum_precise(
+        jnp.asarray(sdt), jnp.asarray(offsets), jnp.asarray(ray_idx),
+        n_rays,
+    ))
+    cum64 = np.cumsum(sdt.astype(np.float64))
+    seg_base = np.where(
+        offsets > 0, cum64[np.maximum(offsets - 1, 0)], 0.0
+    )
+    want = cum64 - sdt - seg_base[ray_idx]
+    np.testing.assert_allclose(got, want, atol=1e-4)
