@@ -117,6 +117,7 @@ class NGPField(nn.Module):
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 1.4472692012786865
+    cellhash_min_load: float = 8.0   # HybridHashGrid switch point
     # dir encoding
     sh_degree: int = 4
     # mlp_base config
@@ -137,6 +138,7 @@ class NGPField(nn.Module):
         self.levels, total_size = hash_encoding.grid_layout(
             self.pos_otype, self.n_levels, self.base_resolution,
             self.per_level_scale, self.log2_hashmap_size,
+            cellhash_min_load=self.cellhash_min_load,
         )
         self.table = self.param(
             "table",

@@ -35,7 +35,7 @@ def level_resolutions(n_levels, base_resolution, per_level_scale):
 
 
 def grid_layout(otype, n_levels, base_resolution, per_level_scale,
-                log2_hashmap_size):
+                log2_hashmap_size, cellhash_min_load=None):
     """Static per-level layout: (resolution, table_size, offset, mode).
 
     mode: 'dense' (full (res+1)^3 vertex table), 'hash', 'tiled', or
@@ -50,10 +50,22 @@ def grid_layout(otype, n_levels, base_resolution, per_level_scale,
     the encoding is only C0 WITHIN cells at those levels (instant-NGP's
     hash collisions already break clean sharing there; the MLP smooths).
     Dense (within-capacity) levels are identical to 'HashGrid'.
+
+    'HybridHashGrid' keeps instant-NGP vertex hashing on the
+    moderately-over-capacity levels (where vertex sharing still carries
+    real signal — the measured ~1.7 dB CellHashGrid quality gap lives
+    there) and switches to the cell-row layout only on levels whose
+    vertex count exceeds `cellhash_min_load` x table size (default 8):
+    at >= 8 expected collisions per entry the vertex identity is
+    already destroyed, so the cell-local layout costs nothing and the
+    fine levels — the majority of the encode's gather/scatter traffic —
+    run at CellHash speed.
     """
     assert otype in ("HashGrid", "DenseGrid", "TiledGrid",
-                     "CellHashGrid")
+                     "CellHashGrid", "HybridHashGrid")
     hashmap_size = 1 << log2_hashmap_size
+    min_load = 8.0 if cellhash_min_load is None else \
+        float(cellhash_min_load)
     levels = []
     offset = 0
     for res in level_resolutions(n_levels, base_resolution,
@@ -65,6 +77,10 @@ def grid_layout(otype, n_levels, base_resolution, per_level_scale,
             mode, size = "hash", hashmap_size
         elif otype == "CellHashGrid":
             mode, size = "cellhash", hashmap_size
+        elif otype == "HybridHashGrid":
+            mode = ("cellhash"
+                    if n_vertices >= min_load * hashmap_size else "hash")
+            size = hashmap_size
         else:
             mode, size = "tiled", hashmap_size
         # align table segments to 128 lanes for clean TPU layouts

@@ -93,6 +93,9 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
             ),
             base_resolution=arch.pos_encoding.base_resolution,
             per_level_scale=arch.pos_encoding.per_level_scale,
+            cellhash_min_load=float(
+                arch.pos_encoding.get("cellhash_min_load") or 8.0
+            ),
             sh_degree=arch.dir_encoding.degree,
             base_hidden_activation=arch.mlp_base.hidden_activation,
             density_activation=arch.mlp_base.density_activation,
@@ -168,6 +171,9 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
                 pe.otype, int(pe.n_levels), int(pe.base_resolution),
                 float(pe.per_level_scale),
                 int(pe.get("log2_hashmap_size", 19)),
+                cellhash_min_load=float(
+                    pe.get("cellhash_min_load") or 8.0
+                ),
             )
             start_level = min(start_level, len(levels) - 1)
             table_decay = (int(levels[start_level][2]), float(decay_w))

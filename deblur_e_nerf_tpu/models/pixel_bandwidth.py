@@ -341,12 +341,20 @@ def _sample_times(params, consts, normalized_interval_gen, output_ts,
     base = jnp.where(below, min_ts, base)
     delta = jnp.where(below, 0.0, delta)
     # exact split-time differences; FOH needs dt > 0, so clamped-equal
-    # consecutive samples get a vanishing-but-positive step
+    # consecutive samples get a small positive step. The floor must be
+    # LARGE enough for float32 FOH backward: at dt -> 0 the efficient
+    # discretization solves a 4x4 with entries ~||A||*dt and its VJP
+    # carries 1/dt^2-scale factors — at the old 1e-6 ns floor (1e-15 s)
+    # the cotangents overflow f32 to inf, NaN-ing every parameter on
+    # the timestamp path (refractory/CT/taus/background) within a few
+    # optimizer steps. 100 ns (1e-7 s) keeps ||A*dt|| >= ~1e-3 for all
+    # modeled circuits while remaining ~1e6x shorter than any sampled
+    # lifetime interval — numerically invisible in the weights.
     dt = (
         (base[1:] - base[:-1]).astype(jnp.float32)
         + (delta[1:] - delta[:-1])
     )
-    dt = jnp.maximum(dt, 1e-6)
+    dt = jnp.maximum(dt, 100.0)
     return base, delta, dt
 
 

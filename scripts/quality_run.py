@@ -154,13 +154,29 @@ def main():
 
     final_val = trainer.evaluate("val", epoch=config.trainer.max_epochs)
     final_test = trainer.evaluate("test", epoch=config.trainer.max_epochs)
-    trainer.dump_metrics(
-        [{"stage": "val", **{k: float(v) for k, v in final_val.items()}},
-         {"stage": "test",
-          **{k: float(v) for k, v in final_test.items()}},
-         {"flat_field_psnr": flat_psnr}],
-        "metrics.yaml",
-    )
+    rows = [
+        {"stage": "val", **{k: float(v) for k, v in final_val.items()}},
+        {"stage": "test",
+         **{k: float(v) for k, v in final_test.items()}},
+        {"flat_field_psnr": flat_psnr},
+    ]
+    if "pixel_bandwidth" in trainer.state.params:
+        # learned vs calibrated-init circuit parameters: the evidence
+        # that the blur model is identifying the generator's filter
+        from deblur_e_nerf_tpu.models import pixel_bandwidth
+        learned = pixel_bandwidth.effective_params(
+            trainer.state.params["pixel_bandwidth"]
+        )
+        init = pixel_bandwidth.effective_params(
+            trainer.params["pixel_bandwidth"]
+        )
+        rows.append({
+            "pixel_bandwidth_learned":
+                {k: float(v) for k, v in learned.items()},
+            "pixel_bandwidth_init":
+                {k: float(v) for k, v in init.items()},
+        })
+    trainer.dump_metrics(rows, "metrics.yaml")
     print("final val:", final_val, flush=True)
     print("final test:", final_test, flush=True)
     print(

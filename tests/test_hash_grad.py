@@ -109,3 +109,51 @@ def test_cellhash_table_gradient_matches_autodiff(cellhash_setup):
         np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5, atol=1e-6
     )
     assert float(jnp.sum(jnp.abs(g_fast))) > 0
+
+
+def test_hybrid_layout_mode_split():
+    """HybridHashGrid: dense while in capacity, vertex-hash while
+    moderately over capacity, cellhash once vertices >= min_load x
+    table size."""
+    levels, _ = hash_encoding.grid_layout(
+        "HybridHashGrid", 8, 4, 2.0, 8, cellhash_min_load=8.0
+    )
+    modes = [m for _, _, _, m in levels]
+    sizes = 1 << 8
+    for (res, size, _, mode) in levels:
+        n_vert = (res + 1) ** 3
+        if n_vert <= sizes:
+            assert mode == "dense", (res, mode)
+        elif n_vert >= 8.0 * sizes:
+            assert mode == "cellhash", (res, mode)
+        else:
+            assert mode == "hash", (res, mode)
+    assert "hash" in modes and "cellhash" in modes and "dense" in modes
+
+
+def test_hybrid_gradient_matches_autodiff():
+    levels, total = hash_encoding.grid_layout(
+        "HybridHashGrid", 8, 4, 2.0, 8, cellhash_min_load=8.0
+    )
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (total, 2), jnp.float32) * 0.1
+    u = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    cotangent = jax.random.normal(
+        jax.random.PRNGKey(2), (257, len(levels) * 2), jnp.float32
+    )
+
+    def loss(t, differentiable):
+        out = hash_encoding.encode(
+            t, u, levels, differentiable_positions=differentiable
+        )
+        return jnp.sum(out * cotangent)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(table, True)), np.asarray(loss(table, False)),
+        rtol=1e-5,
+    )
+    g_ref = jax.grad(lambda t: loss(t, True))(table)
+    g_fast = jax.grad(lambda t: loss(t, False))(table)
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+    )

@@ -285,3 +285,49 @@ def test_forward_fused_matches_sequential():
         np.asarray(reset_state.reset_delta_log_it), rtol=1e-5,
         atol=1e-7,
     )
+
+
+def test_gradients_finite_with_min_ts_clamped_samples():
+    """Regression (round 3): events near the dataset start get most of
+    their lifetime-sampled input timestamps clamped to min_ts, producing
+    degenerate consecutive dts; the FOH backward must stay finite in
+    float32 (the old 1e-6 ns dt floor overflowed the solve VJP and
+    NaN'd every timestamp-path parameter within a few steps)."""
+    calib = {
+        "input_time_const_eff_it_prod": np.asarray(8e-4),
+        "miller_time_const_eff_it_prod": np.asarray(1.6e-4),
+        "amplifier_gain": np.asarray(50.0),
+        "closed_loop_gain": np.asarray(10.0),
+        "output_time_const": np.asarray(8e-4),
+        "sf_cutoff_freq": np.asarray(62.5),
+        "diff_amp_cutoff_freq": np.asarray(25.0),
+    }
+    params, consts = pb.init_pixel_bandwidth(
+        calib, min_ts=1_000_000_000, f_c_dominant_min=4.0,
+        target_cumprob_max_sample_lifetime=0.95,
+    )
+    S, N = 30, 8
+    gen = jnp.full((S - 1, N), 0.5, jnp.float32)
+    # outputs only ~1 ms after min_ts: nearly the whole ~119 ms lifetime
+    # window clamps to min_ts
+    out_ts = jnp.full((N,), 1_001_000_000, jnp.int64)
+
+    def sampling_fn(ts, delta):
+        it = jnp.full(ts.shape, 0.001, jnp.float32) + 1e-4 * jnp.cos(
+            (ts - consts["min_ts"]).astype(jnp.float32) * 1e-9 + delta * 1e-9
+        )
+        return it, {}, jnp.ones(ts.shape, bool)
+
+    def loss(p, delta):
+        out, _, _ = pb.forward_fused(
+            p, consts, gen, out_ts, delta, sampling_fn, N // 2
+        )
+        return jnp.sum(out)
+
+    g_params, g_delta = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.zeros((N,), jnp.float32)
+    )
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_params):
+        assert np.all(np.isfinite(np.asarray(leaf))), (
+            jax.tree_util.keystr(path), np.asarray(leaf))
+    assert np.all(np.isfinite(np.asarray(g_delta)))
