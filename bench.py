@@ -86,6 +86,12 @@ def main():
     config.model.nerf.aabb = [-4.0, -4.0, -4.0, 4.0, 4.0, 4.0]
     config.model.nerf.near_plane = 0.1
     config.model.nerf.far_plane = 8.0
+    # experiment knob: measure an alternative encoding layout
+    # (e.g. DENERF_BENCH_OTYPE=HybridHashGrid) without touching the
+    # protocol config; default stays the reference HashGrid
+    if os.environ.get("DENERF_BENCH_OTYPE"):
+        config.model.nerf.ngp.pos_encoding.otype = \
+            os.environ["DENERF_BENCH_OTYPE"]
 
     bundle, params = setup.build(
         config, root, sample_budget=SAMPLE_BUDGET,

@@ -21,7 +21,10 @@ run () {
   echo "=== $name done rc=$? ($(date +%H:%M)) ==="
 }
 
+sleep 60
 run blur30 configs/train/quality_sphere_blur30.yaml "$BLUR_DS" --batch-capacity 256
+sleep 60
 run blur30_control configs/train/quality_sphere_blur30_control.yaml "$BLUR_DS" --batch-capacity 1024
+sleep 60
 run quality_r3 configs/train/quality_sphere_r3.yaml /tmp/denerf_quality_ds --batch-capacity 2048
 echo "ALL DONE $(date +%H:%M)"
