@@ -240,3 +240,44 @@ def test_preprocess_esim_write_dataset(tmp_path):
     assert calib["input_time_const_eff_it_prod"] == pytest.approx(
         10 * 25e-3 / 1000
     )
+
+
+def test_eds_converted_dataset_trains(raw_eds):
+    """Dress rehearsal (round 3): the eds_to_esim output layout drives
+    the REAL training stack end to end — Trainer build, event packing,
+    a few optimizer steps, and an event_view evaluation with finite
+    metrics (reference real-data path: configs/train/07_*.yaml with
+    eval_target [event_view])."""
+    calib_dir, raw_dir, out_dir = raw_eds
+    argv = sys.argv
+    sys.argv = [
+        "eds_to_esim.py", str(calib_dir), str(raw_dir), str(out_dir)
+    ]
+    try:
+        eds_to_esim.main()
+    finally:
+        sys.argv = argv
+
+    from deblur_e_nerf_tpu.training.trainer import Trainer
+    from deblur_e_nerf_tpu.utils.config import load_config
+
+    config = load_config("configs/train/07_ziggy_and_fuzz_hdr.yaml")
+    config.data.dataset_directory = str(out_dir)
+    config.data.train_dataset_ratio = 1.0
+    config.data.val_dataset_ratio = 1.0
+    config.model.pixel_bandwidth.enable = False
+    config.model.nerf.aabb = [-2.0, -2.0, -2.0, 2.0, 2.0, 2.0]
+    config.model.nerf.near_plane = 0.05
+    config.model.nerf.far_plane = 4.0
+    config.model.nerf.occ_grid.resolution = 16
+    config.model.nerf.occ_grid.warmup_steps = 2
+    config.model.nerf.ngp.pos_encoding.n_levels = 4
+    config.model.nerf.ngp.pos_encoding.log2_hashmap_size = 10
+    config.trainer.max_epochs = 1
+    config.trainer.limit_train_batches = 6
+    config.trainer.accumulate_grad_batches = 2
+    tr = Trainer(config, str(out_dir / "log"), batch_capacity=64,
+                 sample_budget=4096)
+    tr.train()
+    metric = tr.evaluate("val", epoch=0, max_images=1)
+    assert np.isfinite(metric["psnr"]), metric
