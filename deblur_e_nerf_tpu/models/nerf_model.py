@@ -35,9 +35,9 @@ class NeRFModel(NamedTuple):
     radiance_dim: int
     test_chunk_size: int
     # optional coarse-to-fine grid-level curriculum
-    # (start_levels, steps_per_level) — a TPU-framework extension
-    # (instant-NGP-style schedule); None = reference behavior
-    curriculum: Optional[Tuple[int, int]] = None
+    # (start_levels, steps_per_level, max_levels) — a TPU-framework
+    # extension (instant-NGP-style schedule); None = reference behavior
+    curriculum: Optional[Tuple[int, int, int]] = None
     # optional fine-level table L2 decay: (start_table_row, weight) —
     # an L2 penalty on the hash-table segments of levels >=
     # pos_encoding.fine_table_decay_start_level. Counters the
@@ -159,9 +159,16 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         pe = nerf_config.ngp.pos_encoding
         cur_cfg = pe.get("curriculum")
         if cur_cfg and bool(cur_cfg.get("enable", True)):
+            # max_levels caps the unlock: supervision with limited
+            # spatial bandwidth (e.g. circuit-blurred event streams)
+            # feeds the finest levels nearly pure noise gradients — the
+            # measured round-3 failure mode where PSNR fades to the
+            # flat-field level as the last levels unlock while SSIM
+            # still climbs (results/round3/blur30_nodecay)
             curriculum = (
                 int(cur_cfg.get("start_levels", 5)),
                 int(cur_cfg.get("steps_per_level", 500)),
+                int(cur_cfg.get("max_levels") or int(pe.n_levels)),
             )
         decay_w = pe.get("fine_table_decay")
         if decay_w:
@@ -226,9 +233,11 @@ def level_mask_for_step(model, step):
     None when no curriculum is configured."""
     if model.curriculum is None:
         return None
-    start_levels, steps_per_level = model.curriculum
+    start_levels, steps_per_level, max_levels = model.curriculum
     n_levels = model.field.n_levels
-    active = start_levels + step // steps_per_level
+    active = jnp.minimum(
+        start_levels + step // steps_per_level, max_levels
+    )
     return (
         jnp.arange(n_levels) < active
     ).astype(jnp.float32)

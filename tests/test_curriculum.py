@@ -16,7 +16,7 @@ def test_level_mask_schedule():
             n_levels=8, log2_hashmap_size=10,
         ),
         render_config=None, occ_grid_config=None, render_bkgd_mode=None,
-        radiance_dim=1, test_chunk_size=16, curriculum=(3, 100),
+        radiance_dim=1, test_chunk_size=16, curriculum=(3, 100, 8),
     )
     m0 = nerf_model.level_mask_for_step(model, jnp.asarray(0))
     np.testing.assert_array_equal(
@@ -28,6 +28,12 @@ def test_level_mask_schedule():
     )
     m_full = nerf_model.level_mask_for_step(model, jnp.asarray(10_000))
     np.testing.assert_array_equal(np.asarray(m_full), np.ones(8))
+
+    capped = model._replace(curriculum=(3, 100, 6))
+    m_cap = nerf_model.level_mask_for_step(capped, jnp.asarray(10_000))
+    np.testing.assert_array_equal(
+        np.asarray(m_cap), [1, 1, 1, 1, 1, 1, 0, 0]
+    )
 
     no_cur = model._replace(curriculum=None)
     assert nerf_model.level_mask_for_step(no_cur, jnp.asarray(0)) is None
