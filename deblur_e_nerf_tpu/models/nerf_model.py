@@ -144,6 +144,10 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         max_samples_per_ray=MAX_NUM_SAMPLES_PER_RAY,
         sample_budget=sample_budget,
         field_chunk=field_chunk,
+        # framework-extension key (no reference analog — the reference
+        # gets early termination from nerfacc's CUDA marching loop,
+        # external/utils.py:106-119): 0 disables the prepass
+        prepass_div=int(nerf_config.get("occlusion_prepass_div", 0)),
     )
 
     if render_bkgd is None:
@@ -307,6 +311,7 @@ def render(model, params, occ_state, rays_o, rays_d, ray_mask, key,
     return renderer.render_rays(
         field_fn, occ_state.binary, rays_o, rays_d, ray_mask, key, rc,
         render_bkgd=bkgd,
+        density_only_fn=lambda x: density_fn(model, params, x, level_mask),
     )
 
 

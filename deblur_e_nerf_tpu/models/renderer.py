@@ -61,7 +61,27 @@ class RenderConfig:
     block_budget: Optional[int] = None      # KB: coarse-block buffer
                                             # capacity (None = K // 4)
     field_chunk: int = 0                    # samples per field eval (0 = all)
+    # occlusion prepass (early-termination compaction): the post-cull
+    # buffer holds sample_budget // prepass_div samples (0 = off); a
+    # divisor, not an absolute, so eval's worst-case budget replacement
+    # rescales it automatically. nerfacc STOPS MARCHING at
+    # early_stop_eps, so the reference's field never evaluates occluded
+    # samples; a mask-only design pays full encode fwd+bwd for them. The
+    # prepass runs a stop-gradient density-only forward over all marched
+    # samples, cuts each ray's dead suffix (transmittance is monotone,
+    # so `trans > eps` is a per-ray prefix — the cut is gradient-exact:
+    # dead samples' weights AND their cotangents are identically zero),
+    # and compacts survivors into this smaller buffer for the full
+    # differentiable field eval. (reference consumes this via nerfacc's
+    # ray_marching early termination: external/utils.py:106-119)
+    prepass_div: int = 0
     opacity_eps: float = 1e-10
+
+    @property
+    def prepass_budget(self):
+        if not self.prepass_div:
+            return None
+        return max(self.sample_budget // self.prepass_div, 1)
 
 
 class RaySamples(NamedTuple):
@@ -479,6 +499,108 @@ def excl_segment_cumsum_precise(sdt, offsets, ray_idx, n_rays):
     return s1 + (e1 + d_lo)
 
 
+def _sigma_dt_alpha(sigma, samples, n_rays, rc):
+    """Shared (slot_valid, clamped sigma*dt, alpha) — the prepass live
+    mask MUST see the exact masking semantics composite applies, or the
+    two would disagree at the early-stop boundary."""
+    slot_valid = samples.ray_idx < n_rays
+    sigma_dt = sigma * samples.dt * slot_valid
+    # clamp per-sample optical depth: exp(-25) ~ 1.4e-11 is far below any
+    # early_stop_eps (numerically invisible), and an overflowed density
+    # (inf) would otherwise poison the global cumsum with inf - inf = NaN
+    # — nerfacc's serial per-ray transmittance never forms that
+    # difference, our segment-rebased global cumsum does
+    sigma_dt = jnp.minimum(sigma_dt, 25.0)
+    alpha = 1.0 - jnp.exp(-sigma_dt)
+    if rc.alpha_thre > 0:
+        keep = alpha >= rc.alpha_thre
+        sigma_dt = sigma_dt * keep
+        alpha = alpha * keep
+    return slot_valid, sigma_dt, alpha
+
+
+def occlusion_prepass(density_only_fn, samples, rays_o, rays_d, n_rays,
+                      rc):
+    """Early-termination compaction (see RenderConfig.prepass_budget).
+
+    Stop-gradient density forward over all marched samples -> exclusive
+    transmittance -> cut each ray's dead suffix -> stream-compact the
+    survivors into a (prepass_budget + 1,) RaySamples buffer.
+
+    Exactness: `trans_excl > eps` is a per-ray PREFIX (transmittance is
+    monotone non-increasing along the ray), so culling removes only
+    suffix samples whose weights — and whose weight cotangents w.r.t.
+    every earlier sample — are identically zero under composite's own
+    `live` mask. The main pass recomputes density on the survivors with
+    the same params, so composite's mask agrees with the prepass.
+
+    Returns (compacted RaySamples, live-sample demand count () int32 —
+    may exceed prepass_budget; overflow drops tail samples and is
+    surfaced as prepass_overflow_rate).
+    """
+    K2 = rc.prepass_budget
+    safe_idx = jnp.clip(samples.ray_idx, 0, n_rays - 1)
+    positions = rays_o[safe_idx] \
+        + rays_d[safe_idx] * samples.t_mid[:, None]
+    chunk = rc.field_chunk
+    if chunk and chunk < positions.shape[0]:
+        n = positions.shape[0]
+        n_pad = -(-n // chunk) * chunk
+        pos_p = jnp.concatenate(
+            [positions, jnp.zeros((n_pad - n, 3), positions.dtype)]
+        ).reshape(-1, chunk, 3)
+        sigma = jax.lax.map(density_only_fn, pos_p).reshape(n_pad, -1)[:n]
+    else:
+        sigma = density_only_fn(positions)
+    sigma = jax.lax.stop_gradient(sigma)[..., 0]
+
+    slot_valid, sigma_dt, _ = _sigma_dt_alpha(sigma, samples, n_rays, rc)
+    if os.environ.get("DENERF_NO_PRECISE_OPTICAL"):
+        cum = jnp.cumsum(sigma_dt)
+        K1 = sigma_dt.shape[0] - 1
+        seg_base = jnp.where(
+            samples.offsets > 0,
+            cum[jnp.clip(samples.offsets - 1, 0, K1)],
+            0.0,
+        )
+        optical = cum - sigma_dt - seg_base[safe_idx]
+    else:
+        optical = excl_segment_cumsum_precise(
+            sigma_dt, samples.offsets, samples.ray_idx, n_rays
+        )
+    live = (jnp.exp(-optical) > rc.early_stop_eps) & slot_valid
+
+    csum = jnp.cumsum(live.astype(jnp.int32))
+    write_idx = jnp.where(live & (csum <= K2), csum - 1, K2 + 1)
+
+    def put(payload, fill):
+        return jnp.full(
+            (K2 + 1,), fill, payload.dtype
+        ).at[write_idx].set(payload, mode="drop", unique_indices=True)
+
+    written = (live & (csum <= K2)).astype(jnp.int32)
+    seg_ids = jnp.where(slot_valid, samples.ray_idx, n_rays)
+    counts = jax.ops.segment_sum(
+        written, seg_ids, num_segments=n_rays + 1
+    )[:n_rays]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    compacted = RaySamples(
+        t_mid=put(samples.t_mid, 0.0),
+        dt=put(samples.dt, 0.0),
+        ray_idx=put(samples.ray_idx, n_rays),
+        counts=counts,
+        offsets=offsets,
+        # marched demand, NOT the live count: the dynamic-batch
+        # controller must keep seeing true pre-cull demand
+        num_samples=samples.num_samples,
+        num_blocks=samples.num_blocks,
+        num_superblocks=samples.num_superblocks,
+    )
+    return compacted, csum[-1]
+
+
 def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
     """Differentiable compositing over flat ray-contiguous samples.
 
@@ -494,21 +616,12 @@ def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
         num_rendering_samples () int32 — samples contributing before early
         termination (the dynamic-batch-size signal, nerfacc parity).
     """
-    K = rc.sample_budget
-    slot_valid = samples.ray_idx < n_rays  # (K+1,); slot K has ray_idx == R
-    sigma_dt = sigma * samples.dt * slot_valid
-    # clamp per-sample optical depth: exp(-25) ~ 1.4e-11 is far below any
-    # early_stop_eps (numerically invisible), and an overflowed density
-    # (inf) would otherwise poison the global cumsum with inf - inf = NaN
-    # — nerfacc's serial per-ray transmittance never forms that
-    # difference, our segment-rebased global cumsum does
-    sigma_dt = jnp.minimum(sigma_dt, 25.0)
-    alpha = 1.0 - jnp.exp(-sigma_dt)
-    if rc.alpha_thre > 0:
-        keep = alpha >= rc.alpha_thre
-        sigma_dt = sigma_dt * keep
-        alpha = alpha * keep
-
+    # buffer capacity from the buffer itself: with an occlusion prepass
+    # the compacted buffer is prepass_budget + 1, not sample_budget + 1
+    K = samples.t_mid.shape[0] - 1
+    slot_valid, sigma_dt, alpha = _sigma_dt_alpha(
+        sigma, samples, n_rays, rc
+    )
     safe_ray_idx = jnp.clip(samples.ray_idx, 0, n_rays - 1)
 
     def excl_optical_depth_f32(sdt):
@@ -564,8 +677,9 @@ def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
 
 
 def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
-                render_bkgd=None):
-    """Full render: march -> field eval on compacted samples -> composite.
+                render_bkgd=None, density_only_fn=None):
+    """Full render: march -> [occlusion prepass] -> field eval on
+    compacted samples -> composite.
 
     Args:
         field_fn: (positions (N,3), directions (N,3)) -> (rgb (N,ch),
@@ -575,6 +689,8 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
         key: PRNG key (stratified jitter).
         rc: RenderConfig.
         render_bkgd: optional (ch,) learnable/fixed background radiance.
+        density_only_fn: positions (N,3) -> density (N,1); required for
+            the occlusion prepass (rc.prepass_budget).
     Returns:
         dict with radiance (R, ch), opacity (R,), depth (R,),
         num_rendering_samples (), num_marched_samples (), counts (R,).
@@ -582,6 +698,13 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
     R = rays_o.shape[0]
     samples = march_rays(binary, rays_o, rays_d, ray_mask, key, rc)
     samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
+
+    prepass_demand = None
+    if (rc.prepass_div and density_only_fn is not None
+            and rc.early_stop_eps > 0):
+        samples, prepass_demand = occlusion_prepass(
+            density_only_fn, samples, rays_o, rays_d, R, rc
+        )
 
     safe_idx = jnp.clip(samples.ray_idx, 0, R - 1)
     positions = rays_o[safe_idx] \
@@ -630,6 +753,12 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
             samples.num_superblocks.astype(jnp.float32)
             / max(KB // 2, 1)
             if samples.num_superblocks is not None else jnp.float32(0.0)
+        ),
+        # live-sample demand / prepass capacity: > 1.0 means surviving
+        # (visible) samples were dropped from ray tails
+        "prepass_overflow_rate": (
+            prepass_demand.astype(jnp.float32) / rc.prepass_budget
+            if prepass_demand is not None else jnp.float32(0.0)
         ),
     }
     return out

@@ -114,6 +114,12 @@ def build(config, dataset_directory=None, sample_budget=None,
             config.loss.normalize.log_intensity_diff
         ),
         loss_normalize_tv=bool(config.loss.normalize.log_intensity_tv),
+        loss_weight_sparsity=float(
+            config.loss.weight.get("density_sparsity", 0.0)
+        ),
+        sparsity_samples=int(
+            config.loss.get("density_sparsity_samples", 4096)
+        ),
     )
 
     bundle = ModelBundle(

@@ -32,8 +32,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import (event_gen, nerf_model, pixel_bandwidth,
-                      trajectory as trajectory_lib)
+from ..models import (contraction as contraction_lib, event_gen,
+                      nerf_model, occupancy as occupancy_lib,
+                      pixel_bandwidth, trajectory as trajectory_lib)
 from ..ops import samplers
 from . import loss as loss_lib
 
@@ -50,6 +51,15 @@ class StaticConfig(NamedTuple):
     loss_error_fn_tv: str
     loss_normalize_diff: bool
     loss_normalize_tv: bool
+    # density sparsity prior ("fog loss", loss.weight.density_sparsity):
+    # L1 on per-step opacity at uniform aabb points. Event supervision
+    # only constrains log-intensity DIFFERENCES along observed rays, so a
+    # global density pedestal (fog) is loss-invisible — but it saturates
+    # the occupancy grid, exploding samples/ray and starving the event
+    # batch (measured round 3: occ rate -> 1.0, 290 samples/ray, batch
+    # 256 -> 7 events/step, PSNR decaying to the flat-field level).
+    loss_weight_sparsity: float = 0.0
+    sparsity_samples: int = 4096
 
 
 class TrainState(NamedTuple):
@@ -176,6 +186,7 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key,
             "num_marched_samples": out["num_marched_samples"],
             "block_overflow_rate": out["block_overflow_rate"],
             "superblock_overflow_rate": out["superblock_overflow_rate"],
+            "prepass_overflow_rate": out["prepass_overflow_rate"],
             "num_rays": jnp.sum(valid) * (
                 batch_shape[0] if len(batch_shape) == 2 else 1
             ),
@@ -294,16 +305,47 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
     total = sum(
         v * weights[name] for name, v in mean_losses.items()
     )
-    if model.table_decay is not None:
-        # fine-level hash-table L2 (see NeRFModel.table_decay): grad is
-        # decay_w * row — plain (uncoupled-through-Adam) weight decay on
-        # the noise-absorbing fine segments
-        start_row, decay_w = model.table_decay
-        fine = params["nerf"]["field"]["table"][start_row:]
-        table_decay_loss = 0.5 * decay_w * jnp.sum(jnp.square(fine))
-        total = total + table_decay_loss
-        mean_losses = dict(mean_losses,
-                           fine_table_decay=table_decay_loss)
+    # NOTE: fine-table decay (model.table_decay) is applied as DECOUPLED
+    # weight decay in the optimizer (optim._table_row_decay) — as a loss
+    # term its gradient is normalized away by Adam (measured round 3: the
+    # decay/no-decay PSNR curves agreed to 1e-6).
+    if sc.loss_weight_sparsity > 0.0:
+        # fog loss (see StaticConfig.loss_weight_sparsity): mean per-step
+        # opacity 1 - exp(-sigma * render_step_size) at uniform aabb
+        # points. The exp saturates for opaque surface samples, so the
+        # pressure is ~linear on sub-threshold fog and vanishing on real
+        # geometry; under Adam the weak-but-consistent gradient dominates
+        # the zero-mean event-noise gradients that grow the fog.
+        k_cells, k_jitter = jax.random.split(
+            jax.random.fold_in(key, 0x5FA)
+        )
+        rc = model.render_config
+        aabb = jnp.asarray(rc.aabb, jnp.float32)
+        # half the points uniform over the aabb, half targeted at
+        # currently-OCCUPIED cells (inverse-CDF over the binary grid):
+        # the occ grid's EMA-max latches any fog cell whose max sample
+        # crosses occ_thre, so pressuring exactly those cells unlatches
+        # them instead of waiting for diffuse uniform coverage (measured
+        # round 3: uniform-only lambda=0.01 left occ-rate bursts to 1.0
+        # every ~400 steps, each collapsing the event batch 256 -> ~8).
+        cells = occupancy_lib._sample_cells(
+            k_cells, occ_state, sc.sparsity_samples // 2
+        )
+        res = rc.grid_resolution
+        coords = occupancy_lib.cell_coords(res)[cells]
+        jitter = jax.random.uniform(
+            k_jitter, coords.shape, dtype=jnp.float32
+        )
+        u = (coords.astype(jnp.float32) + jitter) / res
+        x = contraction_lib.contract_inv(u, aabb, rc.contraction_type)
+        sigma = nerf_model.density_fn(
+            model, params["nerf"], x, level_mask
+        )
+        sparsity = jnp.mean(
+            1.0 - jnp.exp(-sigma[..., 0] * rc.render_step_size)
+        )
+        total = total + sc.loss_weight_sparsity * sparsity
+        mean_losses = dict(mean_losses, density_sparsity=sparsity)
 
     metrics = {
         "loss": total,
@@ -318,6 +360,7 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         ),
         "block_overflow_rate": stats["block_overflow_rate"],
         "superblock_overflow_rate": stats["superblock_overflow_rate"],
+        "prepass_overflow_rate": stats["prepass_overflow_rate"],
         "mean_ray_occ_rate": stats["mean_ray_occ_rate"],
         "mean_valid_rate": loss_lib.masked_mean(
             ((diff or subdiff)["is_valid"]).astype(jnp.float32), valid

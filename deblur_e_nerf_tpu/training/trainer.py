@@ -118,6 +118,7 @@ class Trainer:
                 for c in ("contrast_threshold", "refractory_period",
                           "nerf", "pixel_bandwidth")
             },
+            table_decay=self.bundle.model.table_decay,
         )
         if self.accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)

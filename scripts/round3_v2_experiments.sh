@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 v2 experiment queue (fog-prior fixes; see results/round3/README.md):
+#   1. blur30_v2         - blur model ON,  S=30, density sparsity prior
+#   2. blur30_control_v2 - blur model OFF, identical data/schedule
+#   3. quality_r3        - sharp-stream fade fix w/ fog prior
+# >= 60 s between TPU jobs (relay session-lock, .claude/skills/verify).
+set -u
+cd "$(dirname "$0")/.."
+BLUR_DS=${1:?blur dataset dir}
+RES=results/round3
+mkdir -p "$RES"
+
+run () {
+  local name=$1 cfg=$2 ds=$3; shift 3
+  echo "=== $name ($(date +%H:%M)) ==="
+  python -u scripts/quality_run.py \
+    --config "$cfg" --data-root "$ds" \
+    --log-dir "$RES/$name" "$@" > "/tmp/r3_$name.log" 2>&1
+  echo "=== $name done rc=$? ($(date +%H:%M)) ==="
+  sleep 75
+}
+
+run blur30_v2 configs/train/quality_sphere_blur30_v2.yaml "$BLUR_DS" --batch-capacity 256
+run blur30_control_v2 configs/train/quality_sphere_blur30_control_v2.yaml "$BLUR_DS" --batch-capacity 1024
+run quality_r3 configs/train/quality_sphere_r3.yaml /tmp/denerf_quality_ds --batch-capacity 2048
+echo "ALL DONE $(date +%H:%M)"

@@ -304,3 +304,105 @@ def test_precise_excl_cumsum_matches_f32_when_small():
     )
     want = cum64 - sdt - seg_base[ray_idx]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _gaussian_density_only(x):
+    return gaussian_field(x)[1]
+
+
+def test_occlusion_prepass_matches_full_render():
+    """Prepass culling + compaction must be output- AND gradient-exact:
+    dead samples (trans <= eps) carry zero weight and zero cotangent in
+    the full path, so removing them changes nothing but the compute."""
+    rng = np.random.default_rng(11)
+    o, d = random_rays(rng, 16)
+    mask = jnp.ones(16, bool)
+    key = jax.random.PRNGKey(0)
+    rc_full = make_rc(early_stop_eps=1e-4, sample_budget=4096)
+    # the soft gaussian culls only ~6% at eps=1e-4: div=2 keeps the
+    # buffer above live demand so this test isolates EXACTNESS;
+    # compaction under saturation is tested below with a dense field
+    rc_pre = make_rc(early_stop_eps=1e-4, sample_budget=4096,
+                     prepass_div=2)
+
+    def run(rc, scale, with_density_fn=True):
+        def field(x, dd):
+            rgb, sigma = gaussian_field(x, dd)
+            return rgb * scale, sigma * scale
+
+        return renderer.render_rays(
+            field, all_occupied(), o, d, mask, key, rc,
+            density_only_fn=(
+                (lambda x: _gaussian_density_only(x) * scale)
+                if with_density_fn else None
+            ),
+        )
+
+    one = jnp.asarray(1.0, jnp.float32)
+    out_full = run(rc_full, one)
+    out_pre = run(rc_pre, one)
+    for k in ("radiance", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(out_pre[k]), np.asarray(out_full[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    assert int(out_pre["num_rendering_samples"]) \
+        == int(out_full["num_rendering_samples"])
+    assert float(out_pre["prepass_overflow_rate"]) <= 1.0
+    assert float(out_full["prepass_overflow_rate"]) == 0.0
+
+    # a saturating (opaque) field: rays terminate early, the live set
+    # fits a 4x-smaller buffer, and outputs still match the full path
+    dense = jnp.asarray(50.0, jnp.float32)
+    out_full_d = run(rc_full, dense)
+    out_pre_d = run(make_rc(early_stop_eps=1e-4, sample_budget=4096,
+                            prepass_div=4), dense)
+    assert float(out_pre_d["prepass_overflow_rate"]) < 1.0
+    assert int(out_pre_d["num_rendering_samples"]) \
+        < int(out_full_d["num_marched_samples"])
+    # looser tolerance: within a 32k block the optical depth is a plain
+    # f32 cumsum, and the full buffer carries the culled samples'
+    # 25-clamped sigma*dt through it (cum ~5e4, ulp ~4e-3), so the two
+    # LAYOUTS round differently — the compacted path is the *less* noisy
+    # one (dead mass removed from the prefix sums)
+    for k in ("radiance", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(out_pre_d[k]), np.asarray(out_full_d[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+    # gradient exactness w.r.t. a field parameter
+    g_full = jax.grad(
+        lambda s: jnp.sum(run(rc_full, s)["radiance"])
+    )(one)
+    g_pre = jax.grad(
+        lambda s: jnp.sum(run(rc_pre, s)["radiance"])
+    )(one)
+    np.testing.assert_allclose(float(g_pre), float(g_full), rtol=1e-5)
+
+    # without a density_only_fn the prepass silently disables
+    out_nofn = run(rc_pre, one, with_density_fn=False)
+    np.testing.assert_allclose(
+        np.asarray(out_nofn["radiance"]), np.asarray(out_full["radiance"]),
+        rtol=1e-6,
+    )
+
+
+def test_occlusion_prepass_overflow_reported():
+    """A too-small prepass buffer drops live tail samples and reports
+    demand/capacity > 1 instead of failing silently."""
+    rng = np.random.default_rng(12)
+    o, d = random_rays(rng, 16)
+    rc = make_rc(early_stop_eps=1e-6, sample_budget=4096,
+                 prepass_div=64)  # 64 live slots for ~16 rays
+
+    def field_thin(x, dd):
+        rgb, sigma = gaussian_field(x, dd)
+        return rgb, sigma * 1e-3  # nearly transparent: nothing culls
+
+    out = renderer.render_rays(
+        field_thin, all_occupied(), o, d, jnp.ones(16, bool),
+        jax.random.PRNGKey(0), rc,
+        density_only_fn=lambda x: _gaussian_density_only(x) * 1e-3,
+    )
+    assert float(out["prepass_overflow_rate"]) > 1.0

@@ -143,3 +143,73 @@ def test_no_pixel_bandwidth_path(tiny_setup):
         bundle.loss_config,
     )
     assert np.isfinite(float(loss_value))
+
+
+def test_table_row_decay_transform():
+    """Decoupled row decay: fine rows shrink by lr*wd*param, coarse rows
+    untouched, even with zero gradients (the Adam-swallowing failure mode
+    of the loss-term L2 it replaces)."""
+    p = {"t": jnp.ones((6, 2), jnp.float32)}
+    td = optim._table_row_decay(
+        start_row=4, wd=0.5, base_lr=0.1, milestones=[], gamma=1.0
+    )
+    state = td.init(p)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+    upd, state = td.update(zero, state, p)
+    np.testing.assert_allclose(np.asarray(upd["t"][:4]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(upd["t"][4:]), -0.1 * 0.5 * 1.0, rtol=1e-6
+    )
+    # milestone schedule scales the decay with the lr
+    td2 = optim._table_row_decay(
+        start_row=0, wd=0.5, base_lr=0.1, milestones=[1], gamma=0.1
+    )
+    s2 = td2.init(p)
+    _, s2 = td2.update(zero, s2, p)          # count 0 -> 1
+    upd2, _ = td2.update(zero, s2, p)        # past milestone
+    np.testing.assert_allclose(
+        np.asarray(upd2["t"]), -0.1 * 0.5 * 0.1, rtol=1e-6
+    )
+
+
+def test_density_sparsity_prior(tiny_setup):
+    """The fog loss is reported, positive (trunc-exp density > 0
+    everywhere), and adds gradient pressure on the field."""
+    root, config, bundle, params = tiny_setup
+    occ_state = nerf_model.init_occupancy(bundle.model)
+    occ_state = occ_state._replace(
+        binary=jnp.ones_like(occ_state.binary)
+    )
+    events = events_data.EventDataset(str(root)).events
+    batcher = pipeline.EventBatcher(events, capacity=64, seed=0)
+    batch = {
+        k: jnp.asarray(v) for k, v in batcher.next_batch(32).items()
+    }
+    sc = bundle.static_config._replace(
+        loss_weight_sparsity=0.5, sparsity_samples=512
+    )
+    key = jax.random.PRNGKey(0)
+    loss_on, metrics = step_lib.compute_loss(
+        bundle.model, params, bundle.consts, occ_state, batch, key,
+        sc, bundle.loss_config,
+    )
+    sparsity = float(metrics["loss_density_sparsity"])
+    assert 0.0 < sparsity < 1.0
+    loss_off, _ = step_lib.compute_loss(
+        bundle.model, params, bundle.consts, occ_state, batch, key,
+        bundle.static_config, bundle.loss_config,
+    )
+    np.testing.assert_allclose(
+        float(loss_on), float(loss_off) + 0.5 * sparsity, rtol=1e-5
+    )
+
+    # the prior's gradient reaches the density parameters
+    def fog_only(p):
+        _, m = step_lib.compute_loss(
+            bundle.model, p, bundle.consts, occ_state, batch, key,
+            sc, bundle.loss_config,
+        )
+        return m["loss_density_sparsity"]
+
+    g = jax.grad(fog_only)(params)
+    assert float(jnp.max(jnp.abs(g["nerf"]["field"]["table"]))) > 0
