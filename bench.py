@@ -45,6 +45,19 @@ FIELD_CHUNK = 1 << 21       # remat the field per 2M-sample chunk: the
                             # exceed HBM without rematerialization
 WARMUP_STEPS = 2
 TIMED_STEPS = 5
+# convergence phase: the throughput number is for TRAINING STEADY STATE
+# (the reference's published nerfacc numbers are steady-state too). A
+# hand-crafted occupancy with a random-init field marches realistically
+# but renders unrealistically: no early termination is possible and the
+# samples-per-ray the controller sees never reaches the converged
+# regime. So the bench first TRAINS the scene with a small cheap program
+# (blur model off, fog prior on), then times the protocol program from
+# that state with a demand-sized sample buffer.
+CONVERGE_STEPS = int(os.environ.get("DENERF_BENCH_CONVERGE", "300"))
+CONVERGE_BUDGET = 1 << 21
+CONVERGE_CAPACITY = 2048
+# occlusion-prepass divisor for the timed program (0 = off)
+PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "2"))
 
 # analytic per-marched-sample matmul FLOPs of the flagship field
 # (fwd: enc-interp + mlp_base 32->64->16 + SH4 + mlp_head 31->64->64->1;
@@ -71,7 +84,8 @@ def main():
                                             step as step_lib)
     from deblur_e_nerf_tpu.utils.config import load_config
 
-    root = os.path.join("/tmp", "denerf_bench_ds_v2")
+    root = os.environ.get("DENERF_BENCH_ROOT") \
+        or os.path.join("/tmp", "denerf_bench_ds_v2")
     if not os.path.exists(os.path.join(root, "raw_events.npz")):
         os.makedirs(root, exist_ok=True)
         # simulated (physically consistent) events: training stays stable
@@ -93,9 +107,116 @@ def main():
         config.model.nerf.ngp.pos_encoding.otype = \
             os.environ["DENERF_BENCH_OTYPE"]
 
+    events = events_data.EventDataset(root).events
+
+    # ---- phase A: converge to training steady state (cheap program) ----
+    conv_nerf_params = None
+    conv_occ = None
+    m_est = None
+    if CONVERGE_STEPS > 0:
+        import copy
+        cfg_a = copy.deepcopy(config)
+        cfg_a.model.pixel_bandwidth.enable = False  # 30x cheaper steps;
+        # the field/occupancy steady state is what phase B needs
+        cfg_a.loss.weight["density_sparsity"] = 0.01  # fog prior (see
+        # training/step.py): event-only training without it saturates the
+        # occupancy grid and never reaches a surface-like steady state
+        cfg_a.loss["density_sparsity_samples"] = 4096
+        bundle_a, params_a = setup.build(
+            cfg_a, root, sample_budget=CONVERGE_BUDGET,
+            batch_capacity=CONVERGE_CAPACITY, field_chunk=0,
+        )
+        tx_a, mask_a = optim.build(
+            params_a, cfg_a.optimizer, cfg_a.lr_scheduler,
+            float(cfg_a.loss.weight.nerf_mlp_weight_decay),
+            float(bundle_a.consts["refractory_period"]
+                  ["max_refractory_period"]),
+            steps_per_epoch=1000,
+            model_configs={
+                c: cfg_a.model[c]
+                for c in ("contrast_threshold", "refractory_period",
+                          "pixel_bandwidth", "nerf")
+            },
+            table_decay=bundle_a.model.table_decay,
+        )
+        occ_update_a = jax.jit(
+            lambda p, s, k, i: nerf_model.update_occupancy(
+                bundle_a.model, p, s, k,
+                bundle_a.consts["trajectory"].T_wc_position, i,
+            )
+        )
+        step_a = jax.jit(step_lib.make_train_step(
+            bundle_a.model, bundle_a.consts, tx_a,
+            bundle_a.static_config, bundle_a.loss_config,
+            trainable_mask=mask_a,
+        ))
+        state_a = step_lib.TrainState(
+            params=params_a, opt_state=tx_a.init(params_a),
+            occ_state=nerf_model.init_occupancy(bundle_a.model),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        batcher_a = pipeline.EventBatcher(
+            events, capacity=CONVERGE_CAPACITY, seed=0
+        )
+        ctrl_a = pipeline.BatchSizeController(
+            target_ray_samples=1 << 16,
+            init_batch_size=CONVERGE_CAPACITY // 4,
+            capacity=CONVERGE_CAPACITY,
+        )
+        occ_n = int(config.model.nerf.occ_grid.n)
+        t0 = time.time()
+        for i in range(CONVERGE_STEPS):
+            if i % occ_n == 0:
+                occ = occ_update_a(
+                    state_a.params["nerf"], state_a.occ_state,
+                    jax.random.PRNGKey(100000 + i),
+                    jnp.asarray(i, jnp.int32),
+                )
+                state_a = state_a._replace(occ_state=occ)
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in batcher_a.next_batch(ctrl_a.active).items()
+            }
+            state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
+            m_val = float(m_a["mean_num_samples_per_ray"])
+            ctrl_a.update(m_val)
+            if i % 50 == 0 or i == CONVERGE_STEPS - 1:
+                print(
+                    f"converge {i}: loss={float(m_a['loss']):.4f} "
+                    f"m={m_val:.1f} "
+                    f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
+                    f"active={ctrl_a.active}",
+                    file=sys.stderr, flush=True,
+                )
+        print(f"converge phase: {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+        conv_nerf_params = state_a.params["nerf"]
+        conv_occ = state_a.occ_state
+        m_est = m_val
+
+    # ---- phase B: the timed protocol program ----
+    # demand-sized sample buffer: demand/step =
+    # min(eff_target, capacity * rays_per_event * m) with margin —
+    # carrying the worst-case buffer at a converged m would spend most
+    # field lanes on empty slots
+    if m_est is not None and m_est > 0:
+        demand = min(
+            SAMPLE_BUDGET,
+            int(BATCH_CAPACITY * N_SLICES * S * m_est),
+        )
+        MB = 1 << 20
+        budget = min(SAMPLE_BUDGET, max(MB, -(-int(demand * 1.3) // MB) * MB))
+    else:
+        budget = SAMPLE_BUDGET
+    if PREPASS_DIV:
+        config.model.nerf.occlusion_prepass_div = PREPASS_DIV
+    print(f"protocol sample budget: {budget} (demand est m={m_est})",
+          file=sys.stderr, flush=True)
+
     bundle, params = setup.build(
-        config, root, sample_budget=SAMPLE_BUDGET,
-        batch_capacity=BATCH_CAPACITY, field_chunk=FIELD_CHUNK,
+        config, root, sample_budget=budget,
+        batch_capacity=BATCH_CAPACITY,
+        field_chunk=min(FIELD_CHUNK, budget),
     )
     sc = bundle.static_config
     tx, trainable_mask = optim.build(
@@ -109,37 +230,30 @@ def main():
             for c in ("contrast_threshold", "refractory_period",
                       "pixel_bandwidth", "nerf")
         },
+        table_decay=bundle.model.table_decay,
     )
 
-    occ_state = nerf_model.init_occupancy(bundle.model)
-    occ_update = jax.jit(
-        lambda p, s, k, i: nerf_model.update_occupancy(
-            bundle.model, p, s, k,
-            bundle.consts["trajectory"].T_wc_position, i,
-        )
-    )
-    t0 = time.time()
-    occ_state = occ_update(
-        params["nerf"], occ_state, jax.random.PRNGKey(0),
-        jnp.asarray(0, jnp.int32),
-    )
-    _ = float(jnp.mean(occ_state.occs))  # sync (block_until_ready is a
-    print(f"occ update: {time.time() - t0:.1f}s",  # no-op on the relay)
-          file=sys.stderr, flush=True)
-    # representative converged occupancy: the synthetic scene's sphere
-    # shell (an untrained random grid would march hundreds of samples per
-    # ray — not the training steady state the throughput number is for)
-    from deblur_e_nerf_tpu.models import occupancy as occ_lib
-    res = bundle.model.render_config.grid_resolution
-    aabb = np.asarray(bundle.model.render_config.aabb, np.float32)
-    cell_u = (np.asarray(occ_lib.cell_coords(res)) + 0.5) / res
-    centers = aabb[:3] + cell_u * (aabb[3:] - aabb[:3])
-    radius = np.linalg.norm(centers, axis=-1)
-    cell_diag = float(np.linalg.norm((aabb[3:] - aabb[:3]) / res))
-    shell = np.abs(radius - 1.0) < 1.5 * cell_diag
-    occ_state = occ_state._replace(binary=jnp.asarray(shell))
-    print(f"occ rate={float(jnp.mean(occ_state.binary)):.4f}",
-          file=sys.stderr, flush=True)
+    if conv_nerf_params is not None:
+        params = dict(params, nerf=conv_nerf_params)
+        occ_state = conv_occ
+        print(f"converged occ rate="
+              f"{float(jnp.mean(occ_state.binary)):.4f}",
+              file=sys.stderr, flush=True)
+    else:
+        # legacy mode (DENERF_BENCH_CONVERGE=0): analytic sphere-shell
+        # occupancy as a stand-in for the converged grid
+        occ_state = nerf_model.init_occupancy(bundle.model)
+        from deblur_e_nerf_tpu.models import occupancy as occ_lib
+        res = bundle.model.render_config.grid_resolution
+        aabb = np.asarray(bundle.model.render_config.aabb, np.float32)
+        cell_u = (np.asarray(occ_lib.cell_coords(res)) + 0.5) / res
+        centers = aabb[:3] + cell_u * (aabb[3:] - aabb[:3])
+        radius = np.linalg.norm(centers, axis=-1)
+        cell_diag = float(np.linalg.norm((aabb[3:] - aabb[:3]) / res))
+        shell = np.abs(radius - 1.0) < 1.5 * cell_diag
+        occ_state = occ_state._replace(binary=jnp.asarray(shell))
+        print(f"occ rate={float(jnp.mean(occ_state.binary)):.4f}",
+              file=sys.stderr, flush=True)
     state = step_lib.TrainState(
         params=params, opt_state=tx.init(params), occ_state=occ_state,
         step=jnp.asarray(0, jnp.int32),
@@ -149,7 +263,6 @@ def main():
         trainable_mask=trainable_mask,
     ))
 
-    events = events_data.EventDataset(root).events
     batcher = pipeline.EventBatcher(events, capacity=BATCH_CAPACITY, seed=0)
     controller = pipeline.BatchSizeController(
         target_ray_samples=EFF_RAY_SAMPLES,
@@ -184,7 +297,8 @@ def main():
         controller.update(float(m["mean_num_samples_per_ray"]))
         print(f"step {i}: loss={float(m['loss']):.4f} active={active} "
               f"m={float(m['mean_num_samples_per_ray']):.1f} "
-              f"ovf={float(m['sample_overflow_rate']):.2f}",
+              f"ovf={float(m['sample_overflow_rate']):.2f} "
+              f"pre={float(m['prepass_overflow_rate']):.2f}",
               file=sys.stderr, flush=True)
         # N_SLICES interval endpoints x S intensity samples x active events
         n_rays = N_SLICES * max(sc.it_sample_size, 1) * active
@@ -197,6 +311,10 @@ def main():
     if not np.isfinite(float(m["loss"])):
         print("WARNING: non-finite loss in timed steps", file=sys.stderr,
               flush=True)
+    if float(m["prepass_overflow_rate"]) > 1.0:
+        print("WARNING: prepass buffer overflowed (live samples dropped);"
+              " rerun with a smaller DENERF_BENCH_PREPASS_DIV",
+              file=sys.stderr, flush=True)
     rays_per_sec = total_rays / elapsed
     samples_per_sec = total_samples / elapsed
     mfu_pct = samples_per_sec * FLOPS_PER_SAMPLE / PEAK_FLOPS * 100

@@ -272,6 +272,7 @@ def update_occupancy(model, params, occ_state, key, camera_positions,
         contraction_type=rc.contraction_type,
         occ_thre=float(cfg.occ_thre), ema_decay=float(cfg.ema_decay),
         warmup_steps=int(cfg.warmup_steps),
+        thre_floor=float(cfg.get("thre_floor", 0.0)),
     )
 
 

@@ -116,7 +116,7 @@ def make_occ_eval_fn(density_fn, render_step_size, cone_angle,
 
 def update(state, key, occ_eval_fn, camera_positions, step, *,
            resolution, aabb, contraction_type, occ_thre, ema_decay,
-           warmup_steps):
+           warmup_steps, thre_floor=0.0):
     """One occupancy-grid update (call every `n` steps at accumulation
     boundaries, as the reference does; nerfacc `every_n_step` semantics).
 
@@ -156,5 +156,17 @@ def update(state, key, occ_eval_fn, camera_positions, step, *,
     occs = jax.lax.cond(
         step < warmup_steps, warmup_update, sampled_update, state
     )
-    binary = occs > jnp.minimum(jnp.mean(occs), occ_thre)
+    # nerfacc's relative threshold min(mean, occ_thre) keeps early
+    # training occupied, but under a density sparsity prior the mean
+    # collapses toward 0 and NOISE cells marginally above it latch the
+    # whole grid occupied (measured round 3: occ rate bursting
+    # 0.03 -> 1.0 every ~400 steps, each collapsing the event batch).
+    # `thre_floor` bounds the threshold below by an absolute per-step
+    # opacity no visible surface is under (alpha ~ occs); 0 = exact
+    # nerfacc semantics (reference via nerfacc.OccupancyGrid:
+    # models/nerf.py:170-198)
+    thre = jnp.minimum(jnp.mean(occs), occ_thre)
+    if thre_floor > 0.0:
+        thre = jnp.maximum(thre, thre_floor)
+    binary = occs > thre
     return OccupancyGridState(occs=occs, binary=binary)

@@ -290,8 +290,13 @@ class Trainer:
                     self.batch_controller.update(m)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
+                    terms = {
+                        k: float(v) for k, v in metrics.items()
+                        if np.ndim(v) == 0
+                    }
                     raise FloatingPointError(
-                        f"NaN/Inf loss at step {self.global_step}"
+                        f"NaN/Inf loss at step {self.global_step}; "
+                        f"metrics: {terms}"
                     )
                 if self.global_step % 100 == 0 or self.global_step == 1:
                     for name, value in metrics.items():

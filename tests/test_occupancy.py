@@ -77,3 +77,40 @@ def test_query_matches_binary():
     assert out[0]
     assert not out[1]
     assert not out[2]
+
+
+def test_thre_floor_blocks_mean_collapse():
+    """When the mean occupancy collapses (density sparsity prior), the
+    relative threshold min(mean, occ_thre) marks noise cells occupied;
+    thre_floor bounds the threshold by an absolute per-step opacity."""
+    def tiny_noise_eval(key, x, camera_positions):
+        # all cells far below any visible opacity, with slight variation
+        return 1e-6 * (1.0 + jnp.sin(jnp.sum(x, axis=-1)))
+
+    def run(floor):
+        state = occupancy.init_state(RES)
+        return occupancy.update(
+            state, jax.random.PRNGKey(0), tiny_noise_eval,
+            jnp.zeros((2, 3)), jnp.asarray(0, jnp.int32),
+            resolution=RES, aabb=AABB,
+            contraction_type=cl.ContractionType("aabb"),
+            occ_thre=0.01, ema_decay=0.5, warmup_steps=4,
+            thre_floor=floor,
+        )
+
+    # nerfacc semantics: ~half the noise cells latch occupied
+    assert float(jnp.mean(run(0.0).binary)) > 0.2
+    # floored: nothing is above an absolute visible-opacity bar
+    assert float(jnp.mean(run(1e-4).binary)) == 0.0
+
+    # the floor must NOT kill genuinely-occupied early-training grids
+    state = occupancy.init_state(RES)
+    state = occupancy.update(
+        state, jax.random.PRNGKey(0), sphere_occ_eval,
+        jnp.zeros((2, 3)), jnp.asarray(0, jnp.int32),
+        resolution=RES, aabb=AABB,
+        contraction_type=cl.ContractionType("aabb"),
+        occ_thre=0.01, ema_decay=0.5, warmup_steps=4,
+        thre_floor=1e-4,
+    )
+    assert float(jnp.mean(state.binary)) > 0.02
