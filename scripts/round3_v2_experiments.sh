@@ -3,16 +3,32 @@
 #   1. blur30_v2         - blur model ON,  S=30, density sparsity prior
 #   2. blur30_control_v2 - blur model OFF, identical data/schedule
 #   3. quality_r3        - sharp-stream fade fix w/ fog prior
-# >= 60 s between TPU jobs (relay session-lock, .claude/skills/verify).
+# >= 60 s between TPU jobs (relay session-lock, .claude/skills/verify);
+# each job is preceded by a TPU probe loop (the relay can wedge for many
+# minutes after a killed client — observed 2026-08-17).
 set -u
 cd "$(dirname "$0")/.."
 BLUR_DS=${1:?blur dataset dir}
 RES=results/round3
 mkdir -p "$RES"
 
+wait_tpu () {
+  for i in $(seq 1 90); do
+    out=$(timeout 75 python -c "
+import jax, jax.numpy as jnp
+print('TPU_OK', float(jnp.sum(jnp.ones(8))))
+" 2>&1 | tail -1)
+    case "$out" in *TPU_OK*) return 0;; esac
+    echo "tpu probe $i: not ready" ; sleep 45
+  done
+  echo "TPU never became ready" ; return 1
+}
+
 run () {
   local name=$1 cfg=$2 ds=$3; shift 3
+  wait_tpu || exit 1
   echo "=== $name ($(date +%H:%M)) ==="
+  rm -rf "$RES/$name"
   python -u scripts/quality_run.py \
     --config "$cfg" --data-root "$ds" \
     --log-dir "$RES/$name" "$@" > "/tmp/r3_$name.log" 2>&1
