@@ -122,6 +122,11 @@ def main():
         # training/step.py): event-only training without it saturates the
         # occupancy grid and never reaches a surface-like steady state
         cfg_a.loss["density_sparsity_samples"] = 4096
+        # absolute occupancy-threshold floor: the prior collapses the
+        # mean occupancy, and nerfacc's relative threshold then latches
+        # noise cells grid-wide (models/occupancy.py)
+        cfg_a.model.nerf.occ_grid["thre_floor"] = 1e-4
+        config.model.nerf.occ_grid["thre_floor"] = 1e-4
         bundle_a, params_a = setup.build(
             cfg_a, root, sample_budget=CONVERGE_BUDGET,
             batch_capacity=CONVERGE_CAPACITY, field_chunk=0,

@@ -39,4 +39,10 @@ run () {
 run blur30_v2 configs/train/quality_sphere_blur30_v2.yaml "$BLUR_DS" --batch-capacity 256
 run blur30_control_v2 configs/train/quality_sphere_blur30_control_v2.yaml "$BLUR_DS" --batch-capacity 1024
 run quality_r3 configs/train/quality_sphere_r3.yaml /tmp/denerf_quality_ds --batch-capacity 2048
+# HybridHashGrid quality-gap probe (6 epochs is enough to compare curves)
+run quality_r3_hybrid configs/train/quality_sphere_r3_hybrid.yaml /tmp/denerf_quality_ds --batch-capacity 2048 --max-epochs 6
+# steady-state protocol bench (converge + timed; ~20-25 min)
+wait_tpu && { echo "=== bench ($(date +%H:%M)) ==="; \
+  timeout 3600 python bench.py > /tmp/r3_bench.json 2> /tmp/r3_bench.log; \
+  echo "=== bench done rc=$? ($(date +%H:%M)) ==="; cat /tmp/r3_bench.json; }
 echo "ALL DONE $(date +%H:%M)"
