@@ -207,3 +207,61 @@ def test_multiprocess_batch_assembly_matches_device_put(dp_setup):
         assert a[k].sharding.is_equivalent_to(b[k].sharding, a[k].ndim)
         np.testing.assert_array_equal(np.asarray(a[k]),
                                       np.asarray(b[k]))
+
+
+def test_sharded_step_with_occlusion_prepass(dp_setup):
+    """The prepass's per-shard compaction must be SPMD-clean: batch
+    sharded over `data`, every cumsum/scatter shard-local, and the
+    sharded loss must agree with the single-device prepass step."""
+    root, _, _, _ = dp_setup
+    config = load_config("configs/train/synthetic.yaml")
+    config.data.dataset_directory = str(root)
+    config.model.pixel_bandwidth.it_sample_size = 4
+    config.model.nerf.aabb = [-4.0, -4.0, -4.0, 4.0, 4.0, 4.0]
+    config.model.nerf.near_plane = 0.1
+    config.model.nerf.far_plane = 8.0
+    config.model.nerf.occ_grid.resolution = 16
+    config.model.nerf.occ_grid.warmup_steps = 2
+    config.model.nerf.ngp.pos_encoding.n_levels = 4
+    config.model.nerf.ngp.pos_encoding.log2_hashmap_size = 10
+    config.model.nerf["occlusion_prepass_div"] = 2
+    bundle, params = setup.build(
+        config, str(root), sample_budget=4096, batch_capacity=64,
+    )
+    assert bundle.model.render_config.prepass_div == 2
+    tx, _ = optim.build(
+        params, config.optimizer, config.lr_scheduler,
+        float(config.loss.weight.nerf_mlp_weight_decay),
+        float(bundle.consts["refractory_period"]
+              ["max_refractory_period"]),
+        steps_per_epoch=10,
+        model_configs={
+            c: config.model[c]
+            for c in ("contrast_threshold", "refractory_period",
+                      "pixel_bandwidth", "nerf")
+        },
+    )
+    mesh = mesh_lib.make_mesh()
+    events = events_data.EventDataset(str(root)).events
+    batcher = pipeline.EventBatcher(events, capacity=64, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batcher.next_batch(64).items()}
+    key = jax.random.PRNGKey(7)
+
+    single_fn = jax.jit(step_lib.make_train_step(
+        bundle.model, bundle.consts, tx, bundle.static_config,
+        bundle.loss_config,
+    ))
+    _, ref_metrics = single_fn(_make_state(bundle, params, tx), batch, key)
+
+    sharded_fn = data_parallel.make_sharded_train_step(
+        bundle.model, bundle.consts, tx, bundle.static_config,
+        bundle.loss_config, mesh,
+    )
+    state1 = data_parallel.replicate(mesh, _make_state(bundle, params, tx))
+    dp_state, dp_metrics = sharded_fn(
+        state1, data_parallel.shard_batch(mesh, batch), key
+    )
+    assert np.isfinite(float(dp_metrics["loss"]))
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
