@@ -334,6 +334,15 @@ def main():
         # (BASELINE.md); conservative: denominator is the reference's
         # RAW nerfacc+tcnn core, without its torch event-physics wrapper
         "vs_baseline": round(samples_per_sec / REF_SAMPLES_PER_SEC, 4),
+        # measurement context (BASELINE.md "Measurement state"):
+        # marched samples/s at training steady state after the converge
+        # phase, demand-sized buffer, occlusion prepass
+        "samples_per_sec": round(samples_per_sec, 0),
+        "mean_samples_per_ray": round(
+            float(m["mean_num_samples_per_ray"]), 2
+        ),
+        "converge_steps": CONVERGE_STEPS,
+        "sample_budget": budget,
     }))
 
 
