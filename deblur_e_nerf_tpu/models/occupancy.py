@@ -61,22 +61,22 @@ def query(state, u, resolution):
     return state.binary[flat] & in_grid
 
 
-def _sample_cells(key, state, n):
-    """n uniform cells + n cells ~ occupied distribution (with replacement).
+def sample_occupied_cells(key, state, n):
+    """n cells ~ occupied distribution (with replacement), falling back
+    to uniform when no cell is occupied.
 
     nerfacc samples occupied cells via `nonzero` (dynamic shape); here we use
     inverse-CDF sampling over the binary mask, which is exact, static-shaped,
     and cheap (one cumsum over the grid).
     """
-    k_uniform, k_occ = jax.random.split(key)
+    k_fallback, k_occ = jax.random.split(key)
     num_cells = state.binary.shape[0]
     uniform_cells = jax.random.randint(
-        k_uniform, (n,), 0, num_cells, dtype=jnp.int32
+        k_fallback, (n,), 0, num_cells, dtype=jnp.int32
     )
     weights = state.binary.astype(jnp.float32)
     cdf = jnp.cumsum(weights)
     total = cdf[-1]
-    # if no cell is occupied, fall back to uniform sampling
     u = jax.random.uniform(k_occ, (n,), dtype=jnp.float32) \
         * jnp.maximum(total, 1.0)
     # 'scan_unrolled': log2(num_cells) batched gathers instead of the
@@ -85,8 +85,19 @@ def _sample_cells(key, state, n):
         cdf, u, side="right", method="scan_unrolled"
     ).astype(jnp.int32)
     occ_cells = jnp.clip(occ_cells, 0, num_cells - 1)
-    occ_cells = jnp.where(total > 0, occ_cells, uniform_cells)
-    return jnp.concatenate([uniform_cells, occ_cells])
+    return jnp.where(total > 0, occ_cells, uniform_cells)
+
+
+def _sample_cells(key, state, n):
+    """n uniform cells + n cells ~ occupied distribution."""
+    k_uniform, k_occ = jax.random.split(key)
+    num_cells = state.binary.shape[0]
+    uniform_cells = jax.random.randint(
+        k_uniform, (n,), 0, num_cells, dtype=jnp.int32
+    )
+    return jnp.concatenate(
+        [uniform_cells, sample_occupied_cells(k_occ, state, n)]
+    )
 
 
 def make_occ_eval_fn(density_fn, render_step_size, cone_angle,

@@ -26,6 +26,7 @@ making the NeRF intensity scale observable through the filter dynamics.
 
 import functools
 import math
+import os
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -174,15 +175,28 @@ def linearized_sys_omega_c_dominant(params, consts,
     return omega_c
 
 
-def discretized_sys_to_weight(sysd, matrix_leading_in=False):
+def discretized_sys_to_weight(sysd, matrix_leading_in=False,
+                              x0_dir=None):
     """Collapse the LTV discrete system into per-sample output weights.
 
     y[S-1] = sum_i w[i] u[i] with
-      w[0]   = C phi(1, S-1) B[0]
+      w[0]   = C phi(1, S-1) B[0]            [+ C phi(0, S-1) x0_dir]
       w[i]   = C phi(i+1, S-1) B[i] + C phi(i, S-1) Bt[i-1]
       w[S-1] = C Bt[S-2] + D
     computed with a reversed lax.scan carrying C phi(i+1, S-1)
     (reference: pixel_bandwidth.py:260-296 uses a Python loop).
+
+    x0_dir: optional (n, m[, batch...]) initial-state direction: the
+    system starts at x[0] = x0_dir @ u[0] (steady state for the first
+    input) instead of x[0] = 0. The reference omits the initial-state
+    response and hides the deficit with weight normalization
+    (pixel_bandwidth.py:398-401) — exact only when the window is much
+    longer than every time constant. For a window clamped to the
+    dataset start (all dts at the 100 ns floor) the weights sum to
+    ~1e-7 * DC and the normalization divides f32 cancellation noise
+    (observed: exact-0 sum on TPU -> inf -> NaN gradients through the
+    masked lanes). With x0_dir the weights sum to the DC gain exactly,
+    for ANY window length and parameters.
     """
     # matrix-leading layout: tiny (o, n)/(n, m) dims lead, batch dims land
     # on the hardware tiles (see ops/linalg.py)
@@ -218,6 +232,9 @@ def discretized_sys_to_weight(sysd, matrix_leading_in=False):
     else:
         c_phi_1, w_mid = C, jnp.zeros((0, *w_last.shape), w_last.dtype)
     w_first = mm(c_phi_1, B[0])
+    if x0_dir is not None:
+        # C phi(0, S-1) x0_dir = (C phi(1, S-1)) A[0] x0_dir
+        w_first = w_first + mm(c_phi_1, mm(A[0], x0_dir))
     weight = jnp.concatenate(
         [w_first[None], w_mid, w_last[None]], axis=0
     )  # (S, o, m, ...)
@@ -271,8 +288,15 @@ def _weight_remat(output_sf_log_it, params, consts, intensity_sample,
         lin_sys, NS_TO_S * sample_dt, is_state_preserved=True,
         is_efficient=True, matrix_leading_out=True,
     )
+    # the circuit starts at the steady state for the first sample's
+    # (log-)intensity: x_ss(u) = [0, u, u, u] for EVERY linearization
+    # point (each stage has unit DC gain), so the initial-state
+    # direction is a constant vector and the weights sum to the DC
+    # gain (= 1) exactly — see discretized_sys_to_weight.
+    x0_dir = jnp.asarray([0.0, 1.0, 1.0, 1.0],
+                         intensity_sample.dtype).reshape(4, 1)
     weight = discretized_sys_to_weight(
-        sysd, matrix_leading_in=True
+        sysd, matrix_leading_in=True, x0_dir=x0_dir
     )  # (S, ..., o, 1)
     return weight[..., 0]  # (S, ..., o)
 
@@ -395,7 +419,24 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
         params, consts, intensity_sample, sample_dt,
         output_sf_log_it=True,
     )  # (S, R*N, 2): rows [sf, diff]
-    normalized_weight = weight / jnp.sum(weight, axis=0, keepdims=True)
+    wsum = jnp.sum(weight, axis=0, keepdims=True)
+    if os.environ.get("DENERF_DEBUG_NANS"):
+        # trace-time NaN-localization metrics (stats dict pass-through
+        # via dbg_ prefix; see training/step.py) for hunting
+        # platform-specific non-finites in the blur forward pass
+        stats = dict(
+            aux[0],
+            dbg_nonfinite_intensity=jnp.sum(
+                ~jnp.isfinite(intensity_sample)).astype(jnp.float32),
+            dbg_min_intensity=jnp.min(intensity_sample),
+            dbg_nonfinite_weight=jnp.sum(
+                ~jnp.isfinite(weight)).astype(jnp.float32),
+            dbg_min_abs_wsum=jnp.min(jnp.abs(wsum)),
+            dbg_min_sample_dt=jnp.min(sample_dt),
+            dbg_max_abs_delta=jnp.max(jnp.abs(output_ts_delta)),
+        )
+        aux = (stats,) + tuple(aux[1:])
+    normalized_weight = weight / wsum
     log_it = jnp.log(intensity_sample)[..., None]
     out = jnp.sum(normalized_weight * log_it, axis=0)  # (R*N, 2)
     sf_log_it = out[..., 0]

@@ -120,6 +120,9 @@ def build(config, dataset_directory=None, sample_budget=None,
         sparsity_samples=int(
             config.loss.get("density_sparsity_samples", 4096)
         ),
+        sparsity_targeted_fraction=float(
+            config.loss.get("density_sparsity_targeted_fraction", 0.5)
+        ),
     )
 
     bundle = ModelBundle(

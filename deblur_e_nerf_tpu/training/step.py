@@ -26,6 +26,7 @@ Batch layout (all arrays capacity N = batch_capacity, prefix-active):
 """
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -60,6 +61,10 @@ class StaticConfig(NamedTuple):
     # 256 -> 7 events/step, PSNR decaying to the flat-field level).
     loss_weight_sparsity: float = 0.0
     sparsity_samples: int = 4096
+    # fraction of sparsity samples targeted at currently-occupied cells
+    # (the rest are uniform over the aabb); 0.0 reproduces the
+    # uniform-only prior of the round-3 blur30_v2 probe
+    sparsity_targeted_fraction: float = 0.5
 
 
 class TrainState(NamedTuple):
@@ -316,21 +321,33 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         # pressure is ~linear on sub-threshold fog and vanishing on real
         # geometry; under Adam the weak-but-consistent gradient dominates
         # the zero-mean event-noise gradients that grow the fog.
-        k_cells, k_jitter = jax.random.split(
-            jax.random.fold_in(key, 0x5FA)
+        k_cells, k_occ, k_jitter = jax.random.split(
+            jax.random.fold_in(key, 0x5FA), 3
         )
         rc = model.render_config
         aabb = jnp.asarray(rc.aabb, jnp.float32)
-        # half the points uniform over the aabb, half targeted at
-        # currently-OCCUPIED cells (inverse-CDF over the binary grid):
-        # the occ grid's EMA-max latches any fog cell whose max sample
-        # crosses occ_thre, so pressuring exactly those cells unlatches
-        # them instead of waiting for diffuse uniform coverage (measured
+        # `sparsity_targeted_fraction` of the points targeted at
+        # currently-OCCUPIED cells (inverse-CDF over the binary grid),
+        # the rest uniform over the aabb. Targeting rationale: the occ
+        # grid's EMA-max latches any fog cell whose max sample crosses
+        # occ_thre, so pressuring exactly those cells unlatches them
+        # instead of waiting for diffuse uniform coverage (measured
         # round 3: uniform-only lambda=0.01 left occ-rate bursts to 1.0
         # every ~400 steps, each collapsing the event batch 256 -> ~8).
-        cells = occupancy_lib._sample_cells(
-            k_cells, occ_state, sc.sparsity_samples // 2
-        )
+        n_tgt = int(round(sc.sparsity_samples
+                          * sc.sparsity_targeted_fraction))
+        n_uni = sc.sparsity_samples - n_tgt
+        parts = []
+        if n_uni > 0:
+            parts.append(jax.random.randint(
+                k_cells, (n_uni,), 0, occ_state.binary.shape[0],
+                dtype=jnp.int32,
+            ))
+        if n_tgt > 0:
+            parts.append(occupancy_lib.sample_occupied_cells(
+                k_occ, occ_state, n_tgt
+            ))
+        cells = jnp.concatenate(parts)
         res = rc.grid_resolution
         coords = occupancy_lib.cell_coords(res)[cells]
         jitter = jax.random.uniform(
@@ -367,6 +384,18 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         ),
         "batch_size": jnp.sum(valid),
     }
+    if os.environ.get("DENERF_DEBUG_NANS"):
+        # forward-side NaN localization: pixel_bandwidth dbg_ stats
+        # pass-through + non-finite render-output counts per slice
+        metrics.update(
+            {k: v for k, v in stats.items() if k.startswith("dbg_")}
+        )
+        metrics["dbg_nonfinite_out"] = jnp.sum(
+            ~jnp.isfinite(outs)).astype(jnp.float32)
+        for j, name in enumerate(
+                ["diff_s", "diff_e", "sub_s", "sub_e"][:R]):
+            metrics[f"dbg_nonfinite_{name}"] = jnp.sum(
+                ~jnp.isfinite(outs[j]) & valid).astype(jnp.float32)
     return total, metrics
 
 
@@ -401,6 +430,20 @@ def make_train_step(model, consts, tx, sc, loss_config,
         (loss_value, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if os.environ.get("DENERF_DEBUG_GRADS"):
+            # trace-time debug flag: per-parameter-group gradient
+            # max-abs + non-finite counts (pinpoints which family
+            # explodes first when hunting platform-specific NaNs)
+            for group, g in grads.items():
+                leaves = jax.tree_util.tree_leaves(g)
+                if not leaves:
+                    continue
+                metrics[f"gmax_{group}"] = jnp.max(jnp.asarray(
+                    [jnp.max(jnp.abs(l)) for l in leaves]
+                ))
+                metrics[f"gnan_{group}"] = sum(
+                    jnp.sum(~jnp.isfinite(l)) for l in leaves
+                ).astype(jnp.float32)
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params
         )

@@ -281,6 +281,14 @@ class Trainer:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
 
+                if os.environ.get("DENERF_DEBUG_METRICS"):
+                    dbg = {k: float(v) for k, v in metrics.items()
+                           if np.ndim(v) == 0}
+                    print(f"[dbg] step {self.global_step} "
+                          + " ".join(f"{k}={v:.6g}"
+                                     for k, v in sorted(dbg.items())),
+                          flush=True)
+
                 m = float(metrics["mean_num_samples_per_ray"])
                 # refresh the active batch size only at accumulation
                 # boundaries so every micro-batch within one optimizer step

@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-3 v3 experiment queue (after the FOH initial-state fix — weights
+# now sum exactly to the DC gain, killing the clamped-window 0/0 NaN;
+# see models/pixel_bandwidth.py discretized_sys_to_weight):
+#   1. blur30_v2   - blur model ON, S=30 (rerun of the run that NaN'd
+#                    at step 6; its control blur30_control_v2 is done)
+#   2. quality_r3  - sharp-stream fade fix w/ fog prior
+#   3. quality_r3_hybrid - HybridHashGrid quality-gap probe (6 epochs)
+#   4. bench       - steady-state protocol bench
+# >= 60 s between TPU jobs (relay session-lock, .claude/skills/verify);
+# probe before each job (the relay can wedge for minutes after a killed
+# client).
+set -u
+cd "$(dirname "$0")/.."
+BLUR_DS=${1:?blur dataset dir}
+RES=results/round3
+mkdir -p "$RES"
+
+wait_tpu () {
+  for i in $(seq 1 90); do
+    out=$(timeout 75 python -c "
+import jax, jax.numpy as jnp
+print('TPU_OK', float(jnp.sum(jnp.ones(8))))
+" 2>&1 | tail -1)
+    case "$out" in *TPU_OK*) return 0;; esac
+    echo "tpu probe $i: not ready" ; sleep 45
+  done
+  echo "TPU never became ready" ; return 1
+}
+
+run () {
+  local name=$1 cfg=$2 ds=$3; shift 3
+  wait_tpu || exit 1
+  echo "=== $name ($(date +%H:%M)) ==="
+  rm -rf "$RES/$name"
+  python -u scripts/quality_run.py \
+    --config "$cfg" --data-root "$ds" \
+    --log-dir "$RES/$name" "$@" > "/tmp/r3_$name.log" 2>&1
+  echo "=== $name done rc=$? ($(date +%H:%M)) ==="
+  sleep 75
+}
+
+run blur30_v2 configs/train/quality_sphere_blur30_v2.yaml "$BLUR_DS" --batch-capacity 256
+run quality_r3 configs/train/quality_sphere_r3.yaml /tmp/denerf_quality_ds --batch-capacity 2048
+run quality_r3_hybrid configs/train/quality_sphere_r3_hybrid.yaml /tmp/denerf_quality_ds --batch-capacity 2048 --max-epochs 6
+wait_tpu && { echo "=== bench ($(date +%H:%M)) ==="; \
+  timeout 3600 python bench.py > /tmp/r3_bench.json 2> /tmp/r3_bench.log; \
+  echo "=== bench done rc=$? ($(date +%H:%M)) ==="; cat /tmp/r3_bench.json; }
+echo "ALL DONE $(date +%H:%M)"
