@@ -273,6 +273,9 @@ def update_occupancy(model, params, occ_state, key, camera_positions,
         occ_thre=float(cfg.occ_thre), ema_decay=float(cfg.ema_decay),
         warmup_steps=int(cfg.warmup_steps),
         thre_floor=float(cfg.get("thre_floor", 0.0)),
+        max_occupied_fraction=float(
+            cfg.get("max_occupied_fraction", 1.0)
+        ),
     )
 
 

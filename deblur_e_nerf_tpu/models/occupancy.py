@@ -127,7 +127,7 @@ def make_occ_eval_fn(density_fn, render_step_size, cone_angle,
 
 def update(state, key, occ_eval_fn, camera_positions, step, *,
            resolution, aabb, contraction_type, occ_thre, ema_decay,
-           warmup_steps, thre_floor=0.0):
+           warmup_steps, thre_floor=0.0, max_occupied_fraction=1.0):
     """One occupancy-grid update (call every `n` steps at accumulation
     boundaries, as the reference does; nerfacc `every_n_step` semantics).
 
@@ -179,5 +179,16 @@ def update(state, key, occ_eval_fn, camera_positions, step, *,
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     if thre_floor > 0.0:
         thre = jnp.maximum(thre, thre_floor)
+    # occupied-fraction cap: an absolute floor cannot win the arms race
+    # with the sparsity-prior pedestal (measured round 3: pedestal ~2e-4
+    # latched a 1e-4 floor, then ~5e-3 latched a 1e-3 floor — each time
+    # the grid went 100% occupied and the event batch collapsed ~25x).
+    # Capping via the (1 - frac) quantile makes grid-wide latching
+    # structurally impossible at ANY pedestal level while keeping the
+    # top-occupancy (surface) cells marching. No-op while fewer than
+    # `frac` of the cells exceed the base threshold.
+    if max_occupied_fraction < 1.0:
+        q = jnp.quantile(occs, 1.0 - max_occupied_fraction)
+        thre = jnp.maximum(thre, q)
     binary = occs > thre
     return OccupancyGridState(occs=occs, binary=binary)

@@ -114,3 +114,51 @@ def test_thre_floor_blocks_mean_collapse():
         thre_floor=1e-4,
     )
     assert float(jnp.mean(state.binary)) > 0.02
+
+
+def test_max_occupied_fraction_caps_pedestal_latch():
+    """A pedestal ABOVE the absolute floor latches the whole grid (the
+    round-3 burst mechanism at any fixed floor); the quantile cap bounds
+    the occupied fraction structurally while keeping the top-occupancy
+    (surface) cells marching."""
+    def pedestal_plus_surface_eval(key, x, camera_positions):
+        # pedestal at 5e-3 everywhere (above a 1e-3 floor), real
+        # surface shell at |x| ~ 0.5 with opacity 0.9
+        surface = (jnp.abs(jnp.linalg.norm(x, axis=-1) - 0.5)
+                   < 0.12).astype(jnp.float32)
+        return 5e-3 + 0.9 * surface
+
+    def run(**kw):
+        state = occupancy.init_state(RES)
+        return occupancy.update(
+            state, jax.random.PRNGKey(0), pedestal_plus_surface_eval,
+            jnp.zeros((2, 3)), jnp.asarray(0, jnp.int32),
+            resolution=RES, aabb=AABB,
+            contraction_type=cl.ContractionType("aabb"),
+            ema_decay=0.5, warmup_steps=4,
+            **{"occ_thre": 0.01, **kw},
+        )
+
+    # base threshold below the pedestal (the real runs get there when
+    # mean(occs) decays under the pedestal; forced here via occ_thre):
+    # the pedestal latches EVERY cell despite the floor
+    assert float(jnp.mean(
+        run(occ_thre=1e-3, thre_floor=1e-3).binary)) == 1.0
+    capped = run(occ_thre=1e-3, thre_floor=1e-3,
+                 max_occupied_fraction=0.3)
+    frac = float(jnp.mean(capped.binary))
+    assert frac <= 0.3 + 1e-6, frac
+    # the cap keeps exactly the TOP-occupancy cells (the surface):
+    # every surviving cell outranks every culled cell
+    occs = np.asarray(capped.occs)
+    binary = np.asarray(capped.binary)
+    assert binary.any()
+    assert occs[binary].min() >= occs[~binary].max()
+    # and the survivors are surface-valued, not pedestal-valued
+    assert occs[binary].min() > 0.5
+    # no-op when the occupied set is already under the cap
+    sphere = run(max_occupied_fraction=0.3)
+    sphere_ref = run()
+    np.testing.assert_array_equal(
+        np.asarray(sphere.binary), np.asarray(sphere_ref.binary)
+    )
