@@ -125,8 +125,10 @@ def main():
         # absolute occupancy-threshold floor: the prior collapses the
         # mean occupancy, and nerfacc's relative threshold then latches
         # noise cells grid-wide (models/occupancy.py)
-        cfg_a.model.nerf.occ_grid["thre_floor"] = 1e-2
-        config.model.nerf.occ_grid["thre_floor"] = 1e-2
+        cfg_a.model.nerf.occ_grid["thre_floor"] = 1e-3
+        cfg_a.model.nerf.occ_grid["thre_rel_max"] = 0.03
+        config.model.nerf.occ_grid["thre_floor"] = 1e-3
+        config.model.nerf.occ_grid["thre_rel_max"] = 0.03
         # occupied-fraction cap: grid-wide pedestal latching is
         # structurally impossible (models/occupancy.py)
         cfg_a.model.nerf.occ_grid["max_occupied_fraction"] = 0.3

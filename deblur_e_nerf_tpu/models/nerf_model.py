@@ -276,6 +276,7 @@ def update_occupancy(model, params, occ_state, key, camera_positions,
         max_occupied_fraction=float(
             cfg.get("max_occupied_fraction", 1.0)
         ),
+        thre_rel_max=float(cfg.get("thre_rel_max", 0.0)),
     )
 
 

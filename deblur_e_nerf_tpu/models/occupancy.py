@@ -127,7 +127,8 @@ def make_occ_eval_fn(density_fn, render_step_size, cone_angle,
 
 def update(state, key, occ_eval_fn, camera_positions, step, *,
            resolution, aabb, contraction_type, occ_thre, ema_decay,
-           warmup_steps, thre_floor=0.0, max_occupied_fraction=1.0):
+           warmup_steps, thre_floor=0.0, max_occupied_fraction=1.0,
+           thre_rel_max=0.0):
     """One occupancy-grid update (call every `n` steps at accumulation
     boundaries, as the reference does; nerfacc `every_n_step` semantics).
 
@@ -179,6 +180,18 @@ def update(state, key, occ_eval_fn, camera_positions, step, *,
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     if thre_floor > 0.0:
         thre = jnp.maximum(thre, thre_floor)
+    # max-relative threshold: under event-only supervision a density
+    # PEDESTAL (loss-invisible fog held at ~5e-3 opacity by the
+    # sparsity prior) sits between the init level (~2e-3, where
+    # nerfacc's relative min(mean, occ_thre) must stay permissive to
+    # bootstrap) and the converged surface level (~0.5+) — no FIXED
+    # threshold separates all three phases (measured round 3: floors
+    # at 1e-4/1e-3 latched the pedestal grid-wide; 1e-2 left the init
+    # grid 100% empty). Riding the field's dynamic range instead:
+    # thr >= thre_rel_max * max(occs) is ~free at init (max ~ mean)
+    # and rises above any sub-surface pedestal once a surface exists.
+    if thre_rel_max > 0.0:
+        thre = jnp.maximum(thre, thre_rel_max * jnp.max(occs))
     # occupied-fraction cap: an absolute floor cannot win the arms race
     # with the sparsity-prior pedestal (measured round 3: pedestal ~2e-4
     # latched a 1e-4 floor, then ~5e-3 latched a 1e-3 floor — each time

@@ -162,3 +162,48 @@ def test_max_occupied_fraction_caps_pedestal_latch():
     np.testing.assert_array_equal(
         np.asarray(sphere.binary), np.asarray(sphere_ref.binary)
     )
+
+
+def test_thre_rel_max_rides_the_field_dynamic_range():
+    """No FIXED threshold separates init (~2e-3, must bootstrap),
+    pedestal (~5e-3, must not latch) and surface (~0.5+, must latch):
+    the max-relative bar is ~free at init and rises above the pedestal
+    once a surface exists."""
+    def run(eval_fn, **kw):
+        state = occupancy.init_state(RES)
+        return occupancy.update(
+            state, jax.random.PRNGKey(0), eval_fn,
+            jnp.zeros((2, 3)), jnp.asarray(0, jnp.int32),
+            resolution=RES, aabb=AABB,
+            contraction_type=cl.ContractionType("aabb"),
+            ema_decay=0.5, warmup_steps=4,
+            **{"occ_thre": 0.01, "thre_rel_max": 0.03, **kw},
+        )
+
+    # init-like field: uniform 2e-3 + tiny noise -> the rel-max bar
+    # (0.03 * 2e-3) does not bind; nerfacc bootstrap semantics hold
+    # (threshold = mean, ~half the cells latch)
+    def init_like(key, x, camera_positions):
+        return 2e-3 * (1.0 + 0.1 * jnp.sin(7.0 * jnp.sum(x, axis=-1)))
+
+    frac = float(jnp.mean(run(init_like).binary))
+    assert 0.2 < frac < 0.8, frac
+
+    # converged-like field: surface 0.9 + pedestal 5e-3. Base threshold
+    # below the pedestal (mean-collapse regime, forced via occ_thre):
+    # without rel-max the pedestal latches everything, with it only the
+    # surface stays.
+    def surface_plus_pedestal(key, x, camera_positions):
+        surface = (jnp.abs(jnp.linalg.norm(x, axis=-1) - 0.5)
+                   < 0.12).astype(jnp.float32)
+        return 5e-3 + 0.9 * surface
+
+    all_latched = run(surface_plus_pedestal, thre_rel_max=0.0,
+                      occ_thre=1e-3)
+    assert float(jnp.mean(all_latched.binary)) == 1.0
+    guarded = run(surface_plus_pedestal, occ_thre=1e-3)
+    occs = np.asarray(guarded.occs)
+    binary = np.asarray(guarded.binary)
+    assert binary.any()
+    assert occs[binary].min() > 0.1      # only surface-valued cells
+    assert not binary[occs < 6e-3].any()  # no pedestal cell latched
