@@ -125,14 +125,13 @@ def main():
         # absolute occupancy-threshold floor: the prior collapses the
         # mean occupancy, and nerfacc's relative threshold then latches
         # noise cells grid-wide (models/occupancy.py)
-        cfg_a.model.nerf.occ_grid["thre_floor"] = 1e-3
-        cfg_a.model.nerf.occ_grid["thre_rel_max"] = 0.03
-        config.model.nerf.occ_grid["thre_floor"] = 1e-3
-        config.model.nerf.occ_grid["thre_rel_max"] = 0.03
-        # occupied-fraction cap: grid-wide pedestal latching is
-        # structurally impossible (models/occupancy.py)
-        cfg_a.model.nerf.occ_grid["max_occupied_fraction"] = 0.3
-        config.model.nerf.occ_grid["max_occupied_fraction"] = 0.3
+        # pure nerfacc threshold semantics: the round-3 guard sweep
+        # (floors 1e-4/1e-3/1e-2, quantile cap, max-relative bar)
+        # measured WORSE quality than the self-recovering baseline —
+        # the pedestal (~5e-3) overlaps the growing-surface range by
+        # value, so every fixed guard binds in the wrong phase
+        # (results/round3/README.md). Guards stay available as
+        # occ_grid knobs, default off.
         bundle_a, params_a = setup.build(
             cfg_a, root, sample_budget=CONVERGE_BUDGET,
             batch_capacity=CONVERGE_CAPACITY, field_chunk=0,
