@@ -35,8 +35,12 @@ if _REPO not in sys.path:
 # each of the 4 renders marches S * batch_size rays)
 IMG_SIZE = 64
 NUM_EVENTS = 200_000
-BATCH_CAPACITY = 4096
-EFF_RAY_SAMPLES = 131072    # reference train_eff_ray_sample_batch_size
+# smoke-test overrides (CPU dry runs of the full two-phase flow); the
+# protocol numbers below are the defaults and define the published bench
+BATCH_CAPACITY = int(os.environ.get("DENERF_BENCH_CAPACITY", "4096"))
+EFF_RAY_SAMPLES = int(os.environ.get("DENERF_BENCH_EFF_SAMPLES",
+                                     "131072"))  # reference
+# train_eff_ray_sample_batch_size
 N_SLICES = 4                # interval endpoints rendered per step
 S = 30                      # pixel-bandwidth intensity samples
 SAMPLE_BUDGET = N_SLICES * S * EFF_RAY_SAMPLES  # flat sample buffer
@@ -44,7 +48,7 @@ FIELD_CHUNK = 1 << 21       # remat the field per 2M-sample chunk: the
                             # 15.7M-sample protocol buffer's activations
                             # exceed HBM without rematerialization
 WARMUP_STEPS = 2
-TIMED_STEPS = 5
+TIMED_STEPS = int(os.environ.get("DENERF_BENCH_TIMED_STEPS", "5"))
 # convergence phase: the throughput number is for TRAINING STEADY STATE
 # (the reference's published nerfacc numbers are steady-state too). A
 # hand-crafted occupancy with a random-init field marches realistically
@@ -54,8 +58,10 @@ TIMED_STEPS = 5
 # (blur model off, fog prior on), then times the protocol program from
 # that state with a demand-sized sample buffer.
 CONVERGE_STEPS = int(os.environ.get("DENERF_BENCH_CONVERGE", "300"))
-CONVERGE_BUDGET = 1 << 21
-CONVERGE_CAPACITY = 2048
+CONVERGE_BUDGET = int(os.environ.get("DENERF_BENCH_CONVERGE_BUDGET",
+                                     str(1 << 21)))
+CONVERGE_CAPACITY = int(os.environ.get("DENERF_BENCH_CONVERGE_CAPACITY",
+                                       "2048"))
 # occlusion-prepass divisor for the timed program (0 = off)
 PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "2"))
 
