@@ -220,6 +220,13 @@ class Trainer:
 
         self.evaluator = None  # built lazily (needs PosedImage data)
         self.global_step = 0
+        # monitored-checkpoint state (reference: Lightning ModelCheckpoint
+        # with `monitor` set, scripts/run.py:69-73): the most recent eval
+        # metrics keyed "<stage>/<name>", per-checkpoint monitor scores,
+        # and the current best checkpoint path.
+        self._last_eval = {}
+        self._ckpt_scores = {}
+        self.best_checkpoint = None
 
     # ------------------------------------------------------------------
     def log_scalar(self, name, value, step):
@@ -317,14 +324,24 @@ class Trainer:
             # config.checkpoint semantics (reference: scripts/run.py:69-73
             # ModelCheckpoint kwargs): save every_n_epochs-th epoch (and
             # always the last, so resume never loses the run), keep only
-            # the save_top_k most recent (monitor is null in every
-            # reference config -> recency; -1 keeps all)
+            # the save_top_k most recent — or, with `monitor` set, the
+            # save_top_k BEST by the monitored "<stage>/<metric>" under
+            # `mode` min/max (Lightning monitor semantics); the latest
+            # epoch is always retained so crash-resume never regresses.
             ckpt_cfg = self.config.get("checkpoint") or {}
             every_n = int(ckpt_cfg.get("every_n_epochs") or 1)
             if (epoch + 1) % every_n == 0 or epoch == self.max_epochs - 1:
-                self.save_checkpoint(epoch)
-                self._prune_checkpoints(int(ckpt_cfg.get("save_top_k",
-                                                         -1)))
+                path = self.save_checkpoint(epoch)
+                monitor = ckpt_cfg.get("monitor")
+                if monitor:
+                    score = self._last_eval.get(str(monitor))
+                    if score is not None and np.isfinite(score):
+                        self._ckpt_scores[os.path.basename(path)] = score
+                self._prune_checkpoints(
+                    int(ckpt_cfg.get("save_top_k", -1)),
+                    monitor=monitor,
+                    mode=str(ckpt_cfg.get("mode") or "min"),
+                )
         elapsed = time.time() - t_start
         return elapsed
 
@@ -380,23 +397,44 @@ class Trainer:
                 np.asarray, self.ema_params
             )
         checkpoint_lib.save(path, payload)
+        return path
 
-    def _prune_checkpoints(self, save_top_k):
-        """Keep only the `save_top_k` most recent epoch checkpoints
-        (monitor-less ModelCheckpoint recency semantics); k <= 0 keeps
-        all (Lightning's -1)."""
-        if save_top_k <= 0:
-            return
+    def _prune_checkpoints(self, save_top_k, monitor=None, mode="min"):
+        """Keep only `save_top_k` epoch checkpoints: the most recent ones
+        when `monitor` is null (ModelCheckpoint recency semantics), or the
+        best-scoring ones under mode min/max when it is set; the latest
+        epoch always survives for crash-resume. Updates
+        `self.best_checkpoint`. k <= 0 keeps all (Lightning's -1)."""
         ckpt_dir = os.path.join(self.log_dir, "checkpoints")
         if not os.path.isdir(ckpt_dir):
             return
         epochs = sorted(
             d for d in os.listdir(ckpt_dir) if d.startswith("epoch_")
         )
-        for stale in epochs[:-save_top_k]:
+        if not epochs:
+            return
+        sign = -1.0 if str(mode) == "max" else 1.0
+        if monitor and self._ckpt_scores:
+            ranked = sorted(
+                (d for d in epochs if d in self._ckpt_scores),
+                key=lambda d: sign * self._ckpt_scores[d],
+            )
+            if ranked:
+                self.best_checkpoint = os.path.join(ckpt_dir, ranked[0])
+            if save_top_k <= 0:
+                return
+            keep = set(ranked[:save_top_k])
+            keep.add(epochs[-1])  # latest, for resume
+            stale_dirs = [d for d in epochs if d not in keep]
+        else:
+            if save_top_k <= 0:
+                return
+            stale_dirs = epochs[:-save_top_k]
+        for stale in stale_dirs:
             import shutil
             shutil.rmtree(os.path.join(ckpt_dir, stale),
                           ignore_errors=True)
+            self._ckpt_scores.pop(stale, None)
 
     def resume(self, path):
         """Full crash-resume: params + optimizer + occupancy + counters
@@ -506,6 +544,11 @@ class Trainer:
             )
             for name, value in metric.items():
                 merged[f"{target}/{name}" if multi else name] = value
+        for name, value in merged.items():
+            try:
+                self._last_eval[f"{stage}/{name}"] = float(value)
+            except (TypeError, ValueError):
+                pass
         return merged
 
     def _evaluate_dataset(self, evaluator, dataset, render_image, stage,

@@ -103,3 +103,54 @@ def test_eval_target_both_and_invalid(tmp_path, dataset):
     tr.config = config
     with pytest.raises(NotImplementedError):
         tr.build_evaluator("val")
+
+
+def test_prune_checkpoints_monitor_semantics(tmp_path):
+    """config.checkpoint with `monitor` set keeps the save_top_k BEST
+    scored checkpoints (mode min/max) plus the latest epoch for resume,
+    and tracks best_checkpoint (reference: Lightning ModelCheckpoint
+    kwargs, scripts/run.py:69-73)."""
+    import os
+
+    tr = Trainer.__new__(Trainer)
+    tr.log_dir = str(tmp_path)
+    tr._ckpt_scores = {}
+    tr.best_checkpoint = None
+    ckpt_dir = tmp_path / "checkpoints"
+    for e, score in enumerate([0.5, 0.2, 0.9, 0.4]):
+        (ckpt_dir / f"epoch_{e:04d}").mkdir(parents=True)
+        tr._ckpt_scores[f"epoch_{e:04d}"] = score
+
+    # mode=min, k=1: best is epoch_0001 (0.2); latest (0003) kept for resume
+    tr._prune_checkpoints(1, monitor="val/loss", mode="min")
+    kept = sorted(os.listdir(ckpt_dir))
+    assert kept == ["epoch_0001", "epoch_0003"], kept
+    assert tr.best_checkpoint.endswith("epoch_0001")
+    # pruned entries drop out of the score table
+    assert set(tr._ckpt_scores) == {"epoch_0001", "epoch_0003"}
+
+    # mode=max flips the ranking
+    tr2 = Trainer.__new__(Trainer)
+    tr2.log_dir = str(tmp_path / "b")
+    tr2._ckpt_scores = {}
+    tr2.best_checkpoint = None
+    ckpt_dir2 = tmp_path / "b" / "checkpoints"
+    for e, score in enumerate([15.0, 22.0, 18.0]):
+        (ckpt_dir2 / f"epoch_{e:04d}").mkdir(parents=True)
+        tr2._ckpt_scores[f"epoch_{e:04d}"] = score
+    tr2._prune_checkpoints(1, monitor="val/psnr", mode="max")
+    assert sorted(os.listdir(ckpt_dir2)) == ["epoch_0001", "epoch_0002"]
+    assert tr2.best_checkpoint.endswith("epoch_0001")
+
+    # monitor-less recency semantics unchanged; k<=0 keeps all
+    tr3 = Trainer.__new__(Trainer)
+    tr3.log_dir = str(tmp_path / "c")
+    tr3._ckpt_scores = {}
+    tr3.best_checkpoint = None
+    ckpt_dir3 = tmp_path / "c" / "checkpoints"
+    for e in range(4):
+        (ckpt_dir3 / f"epoch_{e:04d}").mkdir(parents=True)
+    tr3._prune_checkpoints(-1)
+    assert len(os.listdir(ckpt_dir3)) == 4
+    tr3._prune_checkpoints(2)
+    assert sorted(os.listdir(ckpt_dir3)) == ["epoch_0002", "epoch_0003"]
