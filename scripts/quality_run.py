@@ -176,6 +176,28 @@ def main():
             "pixel_bandwidth_init":
                 {k: float(v) for k, v in init.items()},
         })
+    # supplementary: metrics at the BEST monitored checkpoint (when
+    # checkpoint.monitor is set). The final-params rows above remain the
+    # protocol numbers (the reference tests the last epoch's checkpoint,
+    # ref configs/test/synthetic.yaml:28); these rows record the peak the
+    # monitored ModelCheckpoint would have kept. Runs after the learned-
+    # params row: trainer.resume overwrites the final-step state.
+    if trainer.best_checkpoint and os.path.isdir(trainer.best_checkpoint):
+        best_name = os.path.basename(trainer.best_checkpoint)
+        final_ckpt = f"epoch_{config.trainer.max_epochs - 1:04d}"
+        if best_name != final_ckpt:
+            trainer.resume(trainer.best_checkpoint)
+            best_val = trainer.evaluate(
+                "val", epoch=config.trainer.max_epochs + 1)
+            best_test = trainer.evaluate(
+                "test", epoch=config.trainer.max_epochs + 1)
+            rows.append({
+                "stage": "val_best", "checkpoint": best_name,
+                **{k: float(v) for k, v in best_val.items()}})
+            rows.append({
+                "stage": "test_best", "checkpoint": best_name,
+                **{k: float(v) for k, v in best_test.items()}})
+            print("best-checkpoint val:", best_name, best_val, flush=True)
     trainer.dump_metrics(rows, "metrics.yaml")
     print("final val:", final_val, flush=True)
     print("final test:", final_test, flush=True)
