@@ -80,6 +80,14 @@ REF_SAMPLES_PER_SEC = 19.4e6
 
 def main():
     import jax
+
+    # CPU smoke runs: the container's sitecustomize pre-imports jax on
+    # the axon TPU backend, so JAX_PLATFORMS in the environment is NOT
+    # honored — an explicit config update before first device use is
+    # the only way to keep a smoke run off the (possibly busy) TPU
+    if os.environ.get("DENERF_BENCH_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["DENERF_BENCH_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -138,9 +146,17 @@ def main():
         # value, so every fixed guard binds in the wrong phase
         # (results/round3/README.md). Guards stay available as
         # occ_grid knobs, default off.
+        # field_chunk > 0 even here: the unchunked 2^21-sample encode
+        # OOM'd HBM on TPU (XLA laid the per-level (K, 8) s32 corner-index
+        # fusions out with the 8-corner dim on the 128-lane axis — 16x
+        # padding, ~1 GiB per level, 26 GiB program); the remat-chunked
+        # field path the protocol program uses has always compiled clean
+        conv_chunk = int(os.environ.get("DENERF_BENCH_CONVERGE_CHUNK",
+                                        str(1 << 19)))
         bundle_a, params_a = setup.build(
             cfg_a, root, sample_budget=CONVERGE_BUDGET,
-            batch_capacity=CONVERGE_CAPACITY, field_chunk=0,
+            batch_capacity=CONVERGE_CAPACITY,
+            field_chunk=min(conv_chunk, CONVERGE_BUDGET),
         )
         tx_a, mask_a = optim.build(
             params_a, cfg_a.optimizer, cfg_a.lr_scheduler,
