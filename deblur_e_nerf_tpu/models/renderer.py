@@ -583,6 +583,13 @@ def occlusion_prepass(density_only_fn, samples, rays_o, rays_d, n_rays,
     counts = jax.ops.segment_sum(
         written, seg_ids, num_segments=n_rays + 1
     )[:n_rays]
+    # per-ray LIVE demand (pre-truncation): counts != live_counts marks
+    # rays whose visible samples were dropped by the K2 budget — the
+    # caller masks them out of the loss (a truncated ray renders with
+    # missing mass, which is garbage supervision, not just noise)
+    live_counts = jax.ops.segment_sum(
+        live.astype(jnp.int32), seg_ids, num_segments=n_rays + 1
+    )[:n_rays]
     offsets = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
@@ -598,7 +605,7 @@ def occlusion_prepass(density_only_fn, samples, rays_o, rays_d, n_rays,
         num_blocks=samples.num_blocks,
         num_superblocks=samples.num_superblocks,
     )
-    return compacted, csum[-1]
+    return compacted, csum[-1], live_counts
 
 
 def composite(sigma, rgb, samples, n_rays, rc, render_bkgd=None):
@@ -693,18 +700,31 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
             the occlusion prepass (rc.prepass_budget).
     Returns:
         dict with radiance (R, ch), opacity (R,), depth (R,),
-        num_rendering_samples (), num_marched_samples (), counts (R,).
+        num_rendering_samples (), num_marched_samples (), counts (R,),
+        ray_complete (R,) bool (False when the sample budget or prepass
+        buffer dropped any of the ray's live samples).
     """
     R = rays_o.shape[0]
     samples = march_rays(binary, rays_o, rays_d, ray_mask, key, rc)
     samples = jax.tree_util.tree_map(jax.lax.stop_gradient, samples)
 
+    # per-ray completeness: the sample compaction keeps the first K valid
+    # samples in ray order, so a ray is fully in the buffer iff its
+    # demand segment [offset, offset + count) fits. Incomplete rays
+    # render with missing mass — callers mask them out of the loss
+    # (otherwise a budget overflow silently rewards empty renders, the
+    # round-1 truncation-collapse failure mode)
+    ray_complete = (
+        samples.offsets + samples.counts <= rc.sample_budget
+    )
+
     prepass_demand = None
     if (rc.prepass_div and density_only_fn is not None
             and rc.early_stop_eps > 0):
-        samples, prepass_demand = occlusion_prepass(
+        samples, prepass_demand, live_counts = occlusion_prepass(
             density_only_fn, samples, rays_o, rays_d, R, rc
         )
+        ray_complete &= samples.counts == live_counts
 
     safe_idx = jnp.clip(samples.ray_idx, 0, R - 1)
     positions = rays_o[safe_idx] \
@@ -741,6 +761,7 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
         "num_rendering_samples": num_rendering_samples,
         "num_marched_samples": samples.num_samples,
         "counts": samples.counts,
+        "ray_complete": ray_complete,
         # coarse-stage compaction demand / capacity: > 1.0 means whole
         # ray segments were silently truncated BEFORE the sample stage
         # (invisible to sample_overflow_rate) — the visibility signal

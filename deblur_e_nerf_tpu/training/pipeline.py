@@ -77,15 +77,23 @@ class BatchSizeController:
     (reference: deblur_e_nerf.py:1252-1308): active ~= target_ray_samples /
     mean_num_samples_per_ray, clamped to capacity."""
 
-    def __init__(self, target_ray_samples, init_batch_size, capacity):
+    def __init__(self, target_ray_samples, init_batch_size, capacity,
+                 min_batch=1):
         self.target = float(target_ray_samples)
         self.capacity = int(capacity)
         self.active = int(min(init_batch_size, capacity))
+        # framework-extension floor (reference floor is 1, via ceil:
+        # deblur_e_nerf.py:1252-1308): during occupancy-fog bursts
+        # samples/ray explodes and the reference rule starves the step
+        # to a handful of events; a floor keeps supervision alive and
+        # relies on the renderer's per-ray truncation masking
+        # (step.py ray_complete) to keep over-budget rays out of the loss
+        self.min_batch = int(max(1, min(min_batch, capacity)))
 
     def update(self, mean_num_samples_per_ray):
         m = float(mean_num_samples_per_ray)
         if m > 0 and np.isfinite(m):
             self.active = int(
-                np.clip(self.target / m, 1, self.capacity)
+                np.clip(self.target / m, self.min_batch, self.capacity)
             )
         return self.active

@@ -177,9 +177,17 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key,
             is_valid = opacity > 0
         else:
             is_valid = jnp.ones_like(opacity, bool)
+        # buffer-truncated rays render with missing mass — garbage, not
+        # noise; they leave the loss via a SEPARATE flag (is_valid is
+        # any-reduced across blur samples, completeness must all-reduce)
+        complete = out["ray_complete"].reshape(batch_shape)
         stats = {
             "mean_ray_occ_rate": loss_lib.masked_mean(
                 (opacity > 0).astype(jnp.float32),
+                jnp.broadcast_to(valid, batch_shape),
+            ),
+            "ray_truncation_rate": loss_lib.masked_mean(
+                (~complete).astype(jnp.float32),
                 jnp.broadcast_to(valid, batch_shape),
             ),
             "num_rendering_samples": out["num_rendering_samples"],
@@ -196,7 +204,7 @@ def make_render_train_pixels(model, params, consts, occ_state, sc, key,
                 batch_shape[0] if len(batch_shape) == 2 else 1
             ),
         }
-        return intensity, stats, is_valid
+        return intensity, stats, is_valid, complete
 
     return render_train_pixels
 
@@ -277,25 +285,32 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
             params["pixel_bandwidth"], consts["pixel_bandwidth"],
             interval_gen_all, ts_all, delta_all, sampling_fn, n,
         )
-        stats, is_valid_s = aux
+        stats, is_valid_s, complete_s = aux
         is_valid_all = jnp.any(is_valid_s, axis=0)
+        # ALL blur samples must be complete: the filtered log intensity
+        # integrates every sample, so one truncated render corrupts it
+        complete_all = jnp.all(complete_s, axis=0)
     else:
-        intensity, stats, is_valid_all = render_train_pixels(
-            ts_all, delta_all, pixel_all, channel_all, valid_all,
-            k_render,
-        )
+        intensity, stats, is_valid_all, complete_all = \
+            render_train_pixels(
+                ts_all, delta_all, pixel_all, channel_all, valid_all,
+                k_render,
+            )
         log_it_all = jnp.log(intensity)
 
     outs = log_it_all.reshape(R, n)
     valids = is_valid_all.reshape(R, n)
+    completes = complete_all.reshape(R, n)
     i = 0
     if diff is not None:
         diff["log_intensity_diff"] = outs[i + 1] - outs[i]
-        diff["is_valid"] = (valids[i] | valids[i + 1]) & valid
+        diff["is_valid"] = (valids[i] | valids[i + 1]) & valid \
+            & completes[i] & completes[i + 1]
         i += 2
     if subdiff is not None:
         subdiff["log_intensity_diff"] = outs[i + 1] - outs[i]
-        subdiff["is_valid"] = (valids[i] | valids[i + 1]) & valid
+        subdiff["is_valid"] = (valids[i] | valids[i + 1]) & valid \
+            & completes[i] & completes[i + 1]
 
     _, _, mean_ct = event_gen.contrast_thresholds(
         params["contrast_threshold"], consts["contrast_threshold"]
@@ -379,6 +394,7 @@ def compute_loss(model, params, consts, occ_state, batch, key, sc,
         "superblock_overflow_rate": stats["superblock_overflow_rate"],
         "prepass_overflow_rate": stats["prepass_overflow_rate"],
         "mean_ray_occ_rate": stats["mean_ray_occ_rate"],
+        "ray_truncation_rate": stats["ray_truncation_rate"],
         "mean_valid_rate": loss_lib.masked_mean(
             ((diff or subdiff)["is_valid"]).astype(jnp.float32), valid
         ),

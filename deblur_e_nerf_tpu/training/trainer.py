@@ -194,6 +194,12 @@ class Trainer:
             ),
             init_batch_size=int(config.data.train_init_eff_batch_size),
             capacity=batch_capacity,
+            # extension knob (see pipeline.BatchSizeController): floor
+            # the active batch so occupancy-fog bursts cannot starve
+            # supervision; default 1 == reference behavior
+            min_batch=int(
+                config.data.get("train_min_eff_batch_size", 1)
+            ),
         )
 
         # optional Polyak-averaged eval params (config.trainer.ema_decay;

@@ -394,7 +394,8 @@ def test_occlusion_prepass_overflow_reported():
     rng = np.random.default_rng(12)
     o, d = random_rays(rng, 16)
     rc = make_rc(early_stop_eps=1e-6, sample_budget=4096,
-                 prepass_div=64)  # 64 live slots for ~16 rays
+                 prepass_div=16)  # 256 live slots: holds ray 0's ~150
+    #                               live samples but not all 16 rays
 
     def field_thin(x, dd):
         rgb, sigma = gaussian_field(x, dd)
@@ -406,3 +407,36 @@ def test_occlusion_prepass_overflow_reported():
         density_only_fn=lambda x: _gaussian_density_only(x) * 1e-3,
     )
     assert float(out["prepass_overflow_rate"]) > 1.0
+    # truncated rays are flagged: compaction is ray-ordered, so a
+    # leading prefix stays complete and the tail loses live samples
+    complete = np.asarray(out["ray_complete"])
+    assert complete[0]
+    assert not complete.all()
+
+
+def test_march_truncation_flags_incomplete_rays():
+    """A too-small SAMPLE budget drops trailing rays' samples; those
+    rays must be flagged incomplete while the leading complete rays
+    render identically to an un-truncated reference."""
+    rng = np.random.default_rng(13)
+    o, d = random_rays(rng, 16)
+    mask = jnp.ones(16, bool)
+    key = jax.random.PRNGKey(0)
+    rc_big = make_rc(sample_budget=4096)
+    rc_small = make_rc(sample_budget=256)
+
+    full = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, mask, key, rc_big
+    )
+    trunc = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, mask, key, rc_small
+    )
+    assert np.asarray(full["ray_complete"]).all()
+    complete = np.asarray(trunc["ray_complete"])
+    assert complete[0]
+    assert not complete.all()
+    np.testing.assert_allclose(
+        np.asarray(trunc["radiance"])[complete],
+        np.asarray(full["radiance"])[complete],
+        rtol=1e-5, atol=1e-6,
+    )

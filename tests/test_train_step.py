@@ -213,3 +213,21 @@ def test_density_sparsity_prior(tiny_setup):
 
     g = jax.grad(fog_only)(params)
     assert float(jnp.max(jnp.abs(g["nerf"]["field"]["table"]))) > 0
+
+
+def test_batch_controller_floor():
+    """min_batch floors the active batch during samples/ray explosions
+    (fog bursts); the default keeps the reference rule (floor 1,
+    reference: deblur_e_nerf.py:1252-1308)."""
+    from deblur_e_nerf_tpu.training import pipeline
+    c = pipeline.BatchSizeController(
+        target_ray_samples=2048, init_batch_size=256, capacity=1024,
+        min_batch=64,
+    )
+    assert c.update(8.0) == 256       # 2048 / 8
+    assert c.update(1000.0) == 64     # floored (reference rule gives 2)
+    assert c.update(1.0) == 1024      # still capped at capacity
+    d = pipeline.BatchSizeController(
+        target_ray_samples=2048, init_batch_size=256, capacity=1024,
+    )
+    assert d.update(1000.0) == 2      # default == reference behavior
