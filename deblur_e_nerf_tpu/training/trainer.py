@@ -235,6 +235,47 @@ class Trainer:
         self.best_checkpoint = None
 
     # ------------------------------------------------------------------
+    def _ckpt_scores_path(self):
+        return os.path.join(self.log_dir, "checkpoints",
+                            "monitor_scores.json")
+
+    def _persist_ckpt_scores(self):
+        import json
+        path = self._ckpt_scores_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self._ckpt_scores, f)
+
+    def _load_ckpt_scores(self):
+        """Rebuild monitor-score bookkeeping from the sidecar written at
+        save time, keeping only checkpoints that still exist on disk.
+        Without this, resuming a monitored run would forget every earlier
+        score, so _prune_checkpoints could delete the genuinely best
+        checkpoint and best_checkpoint would rank new epochs only."""
+        import json
+        path = self._ckpt_scores_path()
+        if not os.path.isfile(path):
+            return
+        try:
+            with open(path) as f:
+                scores = json.load(f)
+        except (ValueError, OSError):
+            return
+        ckpt_dir = os.path.dirname(path)
+        self._ckpt_scores.update({
+            name: float(score) for name, score in scores.items()
+            if os.path.isdir(os.path.join(ckpt_dir, name))
+        })
+        ckpt_cfg = self.config.get("checkpoint") or {}
+        monitor = ckpt_cfg.get("monitor")
+        if monitor and self._ckpt_scores:
+            sign = -1.0 if str(ckpt_cfg.get("mode") or "min") == "max" \
+                else 1.0
+            best = min(self._ckpt_scores,
+                       key=lambda d: sign * self._ckpt_scores[d])
+            self.best_checkpoint = os.path.join(ckpt_dir, best)
+
+    # ------------------------------------------------------------------
     def log_scalar(self, name, value, step):
         value = float(value)
         if self.writer is not None and np.isfinite(value):
@@ -342,7 +383,9 @@ class Trainer:
                 if monitor:
                     score = self._last_eval.get(str(monitor))
                     if score is not None and np.isfinite(score):
-                        self._ckpt_scores[os.path.basename(path)] = score
+                        self._ckpt_scores[os.path.basename(path)] = \
+                            float(score)
+                        self._persist_ckpt_scores()
                 self._prune_checkpoints(
                     int(ckpt_cfg.get("save_top_k", -1)),
                     monitor=monitor,
@@ -441,11 +484,14 @@ class Trainer:
             shutil.rmtree(os.path.join(ckpt_dir, stale),
                           ignore_errors=True)
             self._ckpt_scores.pop(stale, None)
+        if stale_dirs:
+            self._persist_ckpt_scores()
 
     def resume(self, path):
         """Full crash-resume: params + optimizer + occupancy + counters
         (reference: Lightning resume_from_checkpoint,
         configs/train/synthetic.yaml trainer comment)."""
+        self._load_ckpt_scores()
         target = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
