@@ -64,6 +64,19 @@ CONVERGE_CAPACITY = int(os.environ.get("DENERF_BENCH_CONVERGE_CAPACITY",
                                        "2048"))
 # occlusion-prepass divisor for the timed program (0 = off)
 PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "2"))
+# occupancy settle: the field converges long before a 0.95-EMA grid can
+# carve (measured on TPU: loss 0.009 with occ-rate still 1.0 at converge
+# step 250) — after the converge train loop, repeated FULL-GRID updates
+# at a faster EMA let the grid catch up to the already-converged density
+# in seconds instead of thousands of train steps, then a short
+# re-equilibration recovers the true steady-state samples-per-ray
+SETTLE_UPDATES = int(os.environ.get("DENERF_BENCH_SETTLE", "48"))
+SETTLE_EMA = float(os.environ.get("DENERF_BENCH_SETTLE_EMA", "0.8"))
+RESETTLE_STEPS = int(os.environ.get("DENERF_BENCH_RESETTLE", "24"))
+# converged-state disk cache: phase A costs ~50 min on TPU; within one
+# machine session the state is workload-determined, so later bench runs
+# (e.g. the driver's round-end run) reuse it
+STATE_CACHE = os.environ.get("DENERF_BENCH_STATE_CACHE", "1") == "1"
 
 # analytic per-marched-sample matmul FLOPs of the flagship field
 # (fwd: enc-interp + mlp_base 32->64->16 + SH4 + mlp_head 31->64->64->1;
@@ -94,6 +107,7 @@ def main():
     from deblur_e_nerf_tpu.data import events as events_data
     from deblur_e_nerf_tpu.data import synthetic
     from deblur_e_nerf_tpu.models import nerf_model
+    from deblur_e_nerf_tpu.models import occupancy as occ_lib
     from deblur_e_nerf_tpu.training import (optim, pipeline, setup,
                                             step as step_lib)
     from deblur_e_nerf_tpu.utils.config import load_config
@@ -196,35 +210,136 @@ def main():
             capacity=CONVERGE_CAPACITY,
         )
         occ_n = int(config.model.nerf.occ_grid.n)
-        t0 = time.time()
-        for i in range(CONVERGE_STEPS):
-            if i % occ_n == 0:
-                occ = occ_update_a(
+        from deblur_e_nerf_tpu.training import checkpoint as checkpoint_lib
+        cache_path = os.path.join(
+            "/tmp",
+            "denerf_bench_conv_v1_"
+            f"{config.model.nerf.ngp.pos_encoding.otype}_"
+            f"{CONVERGE_STEPS}_{CONVERGE_BUDGET}_{CONVERGE_CAPACITY}_"
+            f"{IMG_SIZE}_{SETTLE_UPDATES}_{SETTLE_EMA}",
+        )
+        restored_state = None
+        if STATE_CACHE and os.path.isdir(cache_path):
+            try:
+                restored_state = checkpoint_lib.restore(cache_path, {
+                    "nerf": jax.tree_util.tree_map(
+                        np.asarray, params_a["nerf"]),
+                    "occs": np.asarray(state_a.occ_state.occs),
+                    "binary": np.asarray(state_a.occ_state.binary),
+                    "m_est": np.zeros((), np.float32),
+                })
+                print(f"converged-state cache hit: {cache_path}",
+                      file=sys.stderr, flush=True)
+            except Exception as exc:  # stale/corrupt cache: reconverge
+                print(f"state cache restore failed ({exc}); reconverging",
+                      file=sys.stderr, flush=True)
+        if restored_state is not None:
+            conv_nerf_params = jax.tree_util.tree_map(
+                jnp.asarray, restored_state["nerf"]
+            )
+            conv_occ = state_a.occ_state._replace(
+                occs=jnp.asarray(restored_state["occs"]),
+                binary=jnp.asarray(restored_state["binary"]),
+            )
+            m_est = float(restored_state["m_est"])
+        else:
+            t0 = time.time()
+            for i in range(CONVERGE_STEPS):
+                if i % occ_n == 0:
+                    occ = occ_update_a(
+                        state_a.params["nerf"], state_a.occ_state,
+                        jax.random.PRNGKey(100000 + i),
+                        jnp.asarray(i, jnp.int32),
+                    )
+                    state_a = state_a._replace(occ_state=occ)
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batcher_a.next_batch(ctrl_a.active).items()
+                }
+                state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
+                m_val = float(m_a["mean_num_samples_per_ray"])
+                ctrl_a.update(m_val)
+                if i % 50 == 0 or i == CONVERGE_STEPS - 1:
+                    print(
+                        f"converge {i}: loss={float(m_a['loss']):.4f} "
+                        f"m={m_val:.1f} "
+                        f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
+                        f"active={ctrl_a.active}",
+                        file=sys.stderr, flush=True,
+                    )
+            print(f"converge phase: {time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+
+            # occupancy settle (see SETTLE_UPDATES comment above): force
+            # the full-grid warmup branch (step 0 < warmup_steps 1) with a
+            # faster EMA so the grid reaches the converged field's support
+            rc_a = bundle_a.model.render_config
+            occ_cfg_a = bundle_a.model.occ_grid_config
+            settle_fn = jax.jit(lambda p, s, k: occ_lib.update(
+                s, k,
+                occ_lib.make_occ_eval_fn(
+                    lambda x: nerf_model.density_fn(bundle_a.model, p, x),
+                    rc_a.render_step_size, rc_a.cone_angle,
+                    rc_a.near_plane, rc_a.far_plane,
+                ),
+                bundle_a.consts["trajectory"].T_wc_position,
+                jnp.asarray(0, jnp.int32),
+                resolution=rc_a.grid_resolution, aabb=rc_a.aabb,
+                contraction_type=rc_a.contraction_type,
+                occ_thre=float(occ_cfg_a.occ_thre),
+                ema_decay=SETTLE_EMA, warmup_steps=1,
+            ))
+            t0 = time.time()
+            for j in range(SETTLE_UPDATES):
+                occ = settle_fn(
                     state_a.params["nerf"], state_a.occ_state,
-                    jax.random.PRNGKey(100000 + i),
-                    jnp.asarray(i, jnp.int32),
+                    jax.random.PRNGKey(5_000_000 + j),
                 )
                 state_a = state_a._replace(occ_state=occ)
-            batch = {
-                k: jnp.asarray(v)
-                for k, v in batcher_a.next_batch(ctrl_a.active).items()
-            }
-            state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
-            m_val = float(m_a["mean_num_samples_per_ray"])
-            ctrl_a.update(m_val)
-            if i % 50 == 0 or i == CONVERGE_STEPS - 1:
-                print(
-                    f"converge {i}: loss={float(m_a['loss']):.4f} "
-                    f"m={m_val:.1f} "
-                    f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
-                    f"active={ctrl_a.active}",
-                    file=sys.stderr, flush=True,
-                )
-        print(f"converge phase: {time.time() - t0:.0f}s",
-              file=sys.stderr, flush=True)
-        conv_nerf_params = state_a.params["nerf"]
-        conv_occ = state_a.occ_state
-        m_est = m_val
+            occ_rate = float(jnp.mean(state_a.occ_state.binary))
+            print(f"settle: {SETTLE_UPDATES} full-grid updates in "
+                  f"{time.time() - t0:.0f}s, occupied fraction "
+                  f"{occ_rate:.4f}", file=sys.stderr, flush=True)
+
+            # re-equilibrate the batch controller / samples-per-ray
+            # estimate against the settled grid
+            for j in range(RESETTLE_STEPS):
+                i = CONVERGE_STEPS + j
+                if j % occ_n == 0:
+                    occ = occ_update_a(
+                        state_a.params["nerf"], state_a.occ_state,
+                        jax.random.PRNGKey(100000 + i),
+                        jnp.asarray(i, jnp.int32),
+                    )
+                    state_a = state_a._replace(occ_state=occ)
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in batcher_a.next_batch(ctrl_a.active).items()
+                }
+                state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
+                m_val = float(m_a["mean_num_samples_per_ray"])
+                ctrl_a.update(m_val)
+            print(f"re-equilibrated: m={m_val:.1f} "
+                  f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
+                  f"active={ctrl_a.active}", file=sys.stderr, flush=True)
+
+            conv_nerf_params = state_a.params["nerf"]
+            conv_occ = state_a.occ_state
+            m_est = m_val
+            if STATE_CACHE:
+                try:
+                    checkpoint_lib.save(cache_path, {
+                        "nerf": jax.tree_util.tree_map(
+                            np.asarray, conv_nerf_params),
+                        "occs": np.asarray(conv_occ.occs),
+                        "binary": np.asarray(conv_occ.binary),
+                        "m_est": np.asarray(m_est, np.float32),
+                    })
+                    print(f"converged state cached: {cache_path}",
+                          file=sys.stderr, flush=True)
+                except Exception as exc:
+                    print(f"state cache save failed ({exc})",
+                          file=sys.stderr, flush=True)
 
     # ---- phase B: the timed protocol program ----
     # demand-sized sample buffer: demand/step =
