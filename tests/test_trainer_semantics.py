@@ -123,7 +123,8 @@ def test_prune_checkpoints_monitor_semantics(tmp_path):
 
     # mode=min, k=1: best is epoch_0001 (0.2); latest (0003) kept for resume
     tr._prune_checkpoints(1, monitor="val/loss", mode="min")
-    kept = sorted(os.listdir(ckpt_dir))
+    kept = sorted(d for d in os.listdir(ckpt_dir)
+                  if d.startswith("epoch_"))
     assert kept == ["epoch_0001", "epoch_0003"], kept
     assert tr.best_checkpoint.endswith("epoch_0001")
     # pruned entries drop out of the score table
@@ -139,7 +140,9 @@ def test_prune_checkpoints_monitor_semantics(tmp_path):
         (ckpt_dir2 / f"epoch_{e:04d}").mkdir(parents=True)
         tr2._ckpt_scores[f"epoch_{e:04d}"] = score
     tr2._prune_checkpoints(1, monitor="val/psnr", mode="max")
-    assert sorted(os.listdir(ckpt_dir2)) == ["epoch_0001", "epoch_0002"]
+    assert sorted(d for d in os.listdir(ckpt_dir2)
+                  if d.startswith("epoch_")) == [
+        "epoch_0001", "epoch_0002"]
     assert tr2.best_checkpoint.endswith("epoch_0001")
 
     # monitor-less recency semantics unchanged; k<=0 keeps all
@@ -153,4 +156,6 @@ def test_prune_checkpoints_monitor_semantics(tmp_path):
     tr3._prune_checkpoints(-1)
     assert len(os.listdir(ckpt_dir3)) == 4
     tr3._prune_checkpoints(2)
-    assert sorted(os.listdir(ckpt_dir3)) == ["epoch_0002", "epoch_0003"]
+    assert sorted(d for d in os.listdir(ckpt_dir3)
+                  if d.startswith("epoch_")) == [
+        "epoch_0002", "epoch_0003"]
