@@ -58,6 +58,17 @@ def build(config, dataset_directory=None, sample_budget=None,
         sample_budget = int(
             config.data.train_eff_ray_sample_batch_size
         ) * (S if pb_enabled else 1) * max(n_render_slices, 1)
+        # headroom over the controller's equilibrium demand: the batch
+        # controller drives demand to exactly eff x S x slices, so with
+        # margin 1.0 ray-to-ray variance truncates ~half the steps
+        # (measured: sample_overflow_rate ~1.0-1.2 throughout the S=30
+        # dense blur run). Truncated rays are masked out of the loss
+        # (renderer ray_complete), so margin directly buys effective
+        # supervision at linear HBM cost. Framework extension, default
+        # 1.0 == reference-equivalent sizing.
+        sample_budget = int(sample_budget * float(
+            config.data.get("train_sample_budget_margin", 1.0)
+        ))
 
     render_bkgd = "parameter" if config.data.alpha_over_white_bg else None
     model = nerf_model.build(

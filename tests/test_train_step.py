@@ -231,3 +231,22 @@ def test_batch_controller_floor():
         target_ray_samples=2048, init_batch_size=256, capacity=1024,
     )
     assert d.update(1000.0) == 2      # default == reference behavior
+
+
+def test_sample_budget_margin(tiny_setup):
+    """data.train_sample_budget_margin scales the DERIVED sample budget
+    (eff x S x render slices); margin 1.0 is the reference-equivalent
+    default sizing. Framework extension: the batch controller drives
+    demand to exactly the unscaled budget, so margin is what keeps
+    ray-to-ray variance from truncating (masked) rays every step."""
+    import copy
+
+    root, config, _, _ = tiny_setup
+    cfg = copy.deepcopy(config)
+    cfg.data.train_eff_ray_sample_batch_size = 256
+    S = int(cfg.model.pixel_bandwidth.it_sample_size)
+    b1, _ = setup.build(cfg, str(root))
+    assert b1.model.render_config.sample_budget == 256 * S * 4
+    cfg.data.train_sample_budget_margin = 1.5
+    b2, _ = setup.build(cfg, str(root))
+    assert b2.model.render_config.sample_budget == int(256 * S * 4 * 1.5)
