@@ -73,10 +73,27 @@ PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "2"))
 SETTLE_UPDATES = int(os.environ.get("DENERF_BENCH_SETTLE", "48"))
 SETTLE_EMA = float(os.environ.get("DENERF_BENCH_SETTLE_EMA", "0.8"))
 RESETTLE_STEPS = int(os.environ.get("DENERF_BENCH_RESETTLE", "24"))
-# converged-state disk cache: phase A costs ~50 min on TPU; within one
-# machine session the state is workload-determined, so later bench runs
-# (e.g. the driver's round-end run) reuse it
+# converged-state disk cache: phase A costs ~50 min on TPU, but the
+# state is workload-determined, so it is persisted as a REPO-TRACKED
+# npz artifact (results/bench_state/<key>.npz, hash tables stored f16)
+# and every later bench run — including the driver's round-end run on a
+# fresh machine — hits the cache (round-3 lesson: the /tmp cache
+# evaporated and the driver's bench died reconverging, rc=124)
 STATE_CACHE = os.environ.get("DENERF_BENCH_STATE_CACHE", "1") == "1"
+
+# wall-clock budget: the bench MUST emit its JSON line within the
+# driver's timeout. Budget accounting reserves PHASE_B_RESERVE_S for
+# the timed protocol program (compile ~7 min + warmup + steps); phase A
+# only runs if the cache missed AND enough budget remains, and aborts
+# to the legacy analytic-occupancy mode if it overruns mid-loop.
+BUDGET_S = float(os.environ.get("DENERF_BENCH_BUDGET_S", "2700"))
+PHASE_B_RESERVE_S = float(os.environ.get("DENERF_BENCH_PHASE_B_RESERVE_S",
+                                         "1100"))
+_T_START = time.time()
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T_START)
 
 # analytic per-marched-sample matmul FLOPs of the flagship field
 # (fwd: enc-interp + mlp_base 32->64->16 + SH4 + mlp_head 31->64->64->1;
@@ -210,41 +227,90 @@ def main():
             capacity=CONVERGE_CAPACITY,
         )
         occ_n = int(config.model.nerf.occ_grid.n)
-        from deblur_e_nerf_tpu.training import checkpoint as checkpoint_lib
-        cache_path = os.path.join(
-            "/tmp",
+        cache_key = (
             "denerf_bench_conv_v1_"
             f"{config.model.nerf.ngp.pos_encoding.otype}_"
             f"{CONVERGE_STEPS}_{CONVERGE_BUDGET}_{CONVERGE_CAPACITY}_"
-            f"{IMG_SIZE}_{SETTLE_UPDATES}_{SETTLE_EMA}",
+            f"{IMG_SIZE}_{SETTLE_UPDATES}_{SETTLE_EMA}"
         )
-        restored_state = None
-        if STATE_CACHE and os.path.isdir(cache_path):
+        cache_path = os.path.join(_REPO, "results", "bench_state",
+                                  cache_key + ".npz")
+
+        def _flatten_nerf(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return {jax.tree_util.keystr(k): np.asarray(v)
+                    for k, v in flat}
+
+        def _save_cache(path, nerf_params, occ, m_val):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            arrays = {}
+            for k, v in _flatten_nerf(nerf_params).items():
+                # hash tables dominate (~64 MB f32); store f16 — the
+                # timed phase only needs a realistic steady state, and
+                # f16 round-trip shifts m by < 1%
+                if v.dtype == np.float32 and v.size > 1 << 16:
+                    v = v.astype(np.float16)
+                arrays["nerf:" + k] = v
+            arrays["occs"] = np.asarray(occ.occs)
+            arrays["binary"] = np.asarray(occ.binary)
+            arrays["m_est"] = np.asarray(m_val, np.float32)
+            np.savez_compressed(path + ".tmp.npz", **arrays)
+            os.replace(path + ".tmp.npz", path)
+
+        def _load_cache(path, target_nerf, occ_template):
+            with np.load(path) as z:
+                target_flat = _flatten_nerf(target_nerf)
+                loaded = {}
+                for k, tv in target_flat.items():
+                    v = z["nerf:" + k]
+                    if v.shape != tv.shape:
+                        raise ValueError(f"shape mismatch at {k}")
+                    loaded[k] = v.astype(tv.dtype)
+                leaves, treedef = jax.tree_util.tree_flatten(target_nerf)
+                keys = [jax.tree_util.keystr(k) for k, _ in
+                        jax.tree_util.tree_flatten_with_path(
+                            target_nerf)[0]]
+                nerf = jax.tree_util.tree_unflatten(
+                    treedef, [jnp.asarray(loaded[k]) for k in keys])
+                occ = occ_template._replace(
+                    occs=jnp.asarray(z["occs"]),
+                    binary=jnp.asarray(z["binary"]),
+                )
+                return nerf, occ, float(z["m_est"])
+
+        restored = None
+        if STATE_CACHE and os.path.isfile(cache_path):
             try:
-                restored_state = checkpoint_lib.restore(cache_path, {
-                    "nerf": jax.tree_util.tree_map(
-                        np.asarray, params_a["nerf"]),
-                    "occs": np.asarray(state_a.occ_state.occs),
-                    "binary": np.asarray(state_a.occ_state.binary),
-                    "m_est": np.zeros((), np.float32),
-                })
+                restored = _load_cache(
+                    cache_path, params_a["nerf"], state_a.occ_state)
                 print(f"converged-state cache hit: {cache_path}",
                       file=sys.stderr, flush=True)
             except Exception as exc:  # stale/corrupt cache: reconverge
                 print(f"state cache restore failed ({exc}); reconverging",
                       file=sys.stderr, flush=True)
-        if restored_state is not None:
-            conv_nerf_params = jax.tree_util.tree_map(
-                jnp.asarray, restored_state["nerf"]
+        # phase A costs ~45-55 min uncached on TPU; do not even start it
+        # unless the budget can absorb that AND the timed phase
+        phase_a_est = float(os.environ.get("DENERF_BENCH_PHASE_A_EST_S",
+                                           "3400"))
+        if restored is not None:
+            conv_nerf_params, conv_occ, m_est = restored
+        elif _remaining() < phase_a_est + PHASE_B_RESERVE_S:
+            print(
+                f"budget ({_remaining():.0f}s left) cannot absorb an "
+                f"uncached converge phase (~{phase_a_est:.0f}s) + timed "
+                "phase; falling back to legacy analytic occupancy",
+                file=sys.stderr, flush=True,
             )
-            conv_occ = state_a.occ_state._replace(
-                occs=jnp.asarray(restored_state["occs"]),
-                binary=jnp.asarray(restored_state["binary"]),
-            )
-            m_est = float(restored_state["m_est"])
         else:
+            aborted = False
             t0 = time.time()
             for i in range(CONVERGE_STEPS):
+                if _remaining() < PHASE_B_RESERVE_S:
+                    print(f"converge aborted at step {i}: budget "
+                          f"exhausted; falling back to legacy mode",
+                          file=sys.stderr, flush=True)
+                    aborted = True
+                    break
                 if i % occ_n == 0:
                     occ = occ_update_a(
                         state_a.params["nerf"], state_a.occ_state,
@@ -270,76 +336,77 @@ def main():
             print(f"converge phase: {time.time() - t0:.0f}s",
                   file=sys.stderr, flush=True)
 
-            # occupancy settle (see SETTLE_UPDATES comment above): force
-            # the full-grid warmup branch (step 0 < warmup_steps 1) with a
-            # faster EMA so the grid reaches the converged field's support
-            rc_a = bundle_a.model.render_config
-            occ_cfg_a = bundle_a.model.occ_grid_config
-            settle_fn = jax.jit(lambda p, s, k: occ_lib.update(
-                s, k,
-                occ_lib.make_occ_eval_fn(
-                    lambda x: nerf_model.density_fn(bundle_a.model, p, x),
-                    rc_a.render_step_size, rc_a.cone_angle,
-                    rc_a.near_plane, rc_a.far_plane,
-                ),
-                bundle_a.consts["trajectory"].T_wc_position,
-                jnp.asarray(0, jnp.int32),
-                resolution=rc_a.grid_resolution, aabb=rc_a.aabb,
-                contraction_type=rc_a.contraction_type,
-                occ_thre=float(occ_cfg_a.occ_thre),
-                ema_decay=SETTLE_EMA, warmup_steps=1,
-            ))
-            t0 = time.time()
-            for j in range(SETTLE_UPDATES):
-                occ = settle_fn(
-                    state_a.params["nerf"], state_a.occ_state,
-                    jax.random.PRNGKey(5_000_000 + j),
-                )
-                state_a = state_a._replace(occ_state=occ)
-            occ_rate = float(jnp.mean(state_a.occ_state.binary))
-            print(f"settle: {SETTLE_UPDATES} full-grid updates in "
-                  f"{time.time() - t0:.0f}s, occupied fraction "
-                  f"{occ_rate:.4f}", file=sys.stderr, flush=True)
-
-            # re-equilibrate the batch controller / samples-per-ray
-            # estimate against the settled grid
-            for j in range(RESETTLE_STEPS):
-                i = CONVERGE_STEPS + j
-                if j % occ_n == 0:
-                    occ = occ_update_a(
+            if not aborted:
+                # occupancy settle (see SETTLE_UPDATES comment above):
+                # force the full-grid warmup branch (step 0 <
+                # warmup_steps 1) with a faster EMA so the grid reaches
+                # the converged field's support
+                rc_a = bundle_a.model.render_config
+                occ_cfg_a = bundle_a.model.occ_grid_config
+                settle_fn = jax.jit(lambda p, s, k: occ_lib.update(
+                    s, k,
+                    occ_lib.make_occ_eval_fn(
+                        lambda x: nerf_model.density_fn(
+                            bundle_a.model, p, x),
+                        rc_a.render_step_size, rc_a.cone_angle,
+                        rc_a.near_plane, rc_a.far_plane,
+                    ),
+                    bundle_a.consts["trajectory"].T_wc_position,
+                    jnp.asarray(0, jnp.int32),
+                    resolution=rc_a.grid_resolution, aabb=rc_a.aabb,
+                    contraction_type=rc_a.contraction_type,
+                    occ_thre=float(occ_cfg_a.occ_thre),
+                    ema_decay=SETTLE_EMA, warmup_steps=1,
+                ))
+                t0 = time.time()
+                for j in range(SETTLE_UPDATES):
+                    occ = settle_fn(
                         state_a.params["nerf"], state_a.occ_state,
-                        jax.random.PRNGKey(100000 + i),
-                        jnp.asarray(i, jnp.int32),
+                        jax.random.PRNGKey(5_000_000 + j),
                     )
                     state_a = state_a._replace(occ_state=occ)
-                batch = {
-                    k: jnp.asarray(v)
-                    for k, v in batcher_a.next_batch(ctrl_a.active).items()
-                }
-                state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
-                m_val = float(m_a["mean_num_samples_per_ray"])
-                ctrl_a.update(m_val)
-            print(f"re-equilibrated: m={m_val:.1f} "
-                  f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
-                  f"active={ctrl_a.active}", file=sys.stderr, flush=True)
+                occ_rate = float(jnp.mean(state_a.occ_state.binary))
+                print(f"settle: {SETTLE_UPDATES} full-grid updates in "
+                      f"{time.time() - t0:.0f}s, occupied fraction "
+                      f"{occ_rate:.4f}", file=sys.stderr, flush=True)
 
-            conv_nerf_params = state_a.params["nerf"]
-            conv_occ = state_a.occ_state
-            m_est = m_val
-            if STATE_CACHE:
-                try:
-                    checkpoint_lib.save(cache_path, {
-                        "nerf": jax.tree_util.tree_map(
-                            np.asarray, conv_nerf_params),
-                        "occs": np.asarray(conv_occ.occs),
-                        "binary": np.asarray(conv_occ.binary),
-                        "m_est": np.asarray(m_est, np.float32),
-                    })
-                    print(f"converged state cached: {cache_path}",
-                          file=sys.stderr, flush=True)
-                except Exception as exc:
-                    print(f"state cache save failed ({exc})",
-                          file=sys.stderr, flush=True)
+                # re-equilibrate the batch controller / samples-per-ray
+                # estimate against the settled grid
+                for j in range(RESETTLE_STEPS):
+                    i = CONVERGE_STEPS + j
+                    if j % occ_n == 0:
+                        occ = occ_update_a(
+                            state_a.params["nerf"], state_a.occ_state,
+                            jax.random.PRNGKey(100000 + i),
+                            jnp.asarray(i, jnp.int32),
+                        )
+                        state_a = state_a._replace(occ_state=occ)
+                    batch = {
+                        k: jnp.asarray(v)
+                        for k, v in
+                        batcher_a.next_batch(ctrl_a.active).items()
+                    }
+                    state_a, m_a = step_a(
+                        state_a, batch, jax.random.PRNGKey(i))
+                    m_val = float(m_a["mean_num_samples_per_ray"])
+                    ctrl_a.update(m_val)
+                print(f"re-equilibrated: m={m_val:.1f} "
+                      f"occ={float(m_a['mean_ray_occ_rate']):.3f} "
+                      f"active={ctrl_a.active}",
+                      file=sys.stderr, flush=True)
+
+                conv_nerf_params = state_a.params["nerf"]
+                conv_occ = state_a.occ_state
+                m_est = m_val
+                if STATE_CACHE:
+                    try:
+                        _save_cache(cache_path, conv_nerf_params,
+                                    conv_occ, m_est)
+                        print(f"converged state cached: {cache_path}",
+                              file=sys.stderr, flush=True)
+                    except Exception as exc:
+                        print(f"state cache save failed ({exc})",
+                              file=sys.stderr, flush=True)
 
     # ---- phase B: the timed protocol program ----
     # demand-sized sample buffer: demand/step =
@@ -427,18 +494,31 @@ def main():
         jax.block_until_ready(metrics["loss"])
         return metrics
 
+    step_est = 60.0
     for i in range(WARMUP_STEPS):
         t0 = time.time()
         m = run_step(i, controller.active)
         controller.update(float(m["mean_num_samples_per_ray"]))
-        print(f"warmup {i}: {time.time() - t0:.1f}s "
+        step_est = time.time() - t0
+        print(f"warmup {i}: {step_est:.1f}s "
               f"m={float(m['mean_num_samples_per_ray']):.1f}",
               file=sys.stderr, flush=True)
+        if _remaining() < 3 * step_est:
+            break  # warmup 0 paid the compile; that is the essential one
+
+    # adapt the timed-step count to the remaining budget (>= 2 steps so
+    # a number is ALWAYS published, even over budget)
+    timed_steps = max(2, min(
+        TIMED_STEPS, int((_remaining() - 20.0) / max(step_est, 1e-3))))
+    if timed_steps < TIMED_STEPS:
+        print(f"budget: timing {timed_steps} steps instead of "
+              f"{TIMED_STEPS} ({_remaining():.0f}s left, "
+              f"~{step_est:.1f}s/step)", file=sys.stderr, flush=True)
 
     total_rays = 0
     total_samples = 0
     t0 = time.time()
-    for i in range(TIMED_STEPS):
+    for i in range(timed_steps):
         active = controller.active
         m = run_step(WARMUP_STEPS + i, active)
         controller.update(float(m["mean_num_samples_per_ray"]))
@@ -483,10 +563,29 @@ def main():
         "mean_samples_per_ray": round(
             float(m["mean_num_samples_per_ray"]), 2
         ),
+        # whether the timed phase ran from a converged steady state
+        # (phase A or its durable cache) or the legacy analytic-occupancy
+        # fallback (budget miss); legacy numbers are comparable to
+        # BENCH_r01/r02's
+        "converged": conv_nerf_params is not None,
         "converge_steps": CONVERGE_STEPS,
+        "timed_steps": timed_steps,
         "sample_budget": budget,
+        "elapsed_s": round(time.time() - _T_START, 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # the driver's contract: ALWAYS one JSON line
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }))
+        sys.exit(0)
