@@ -168,7 +168,11 @@ def _build_lpips_alex(weights_path):
                 )
             return total
 
-    model = LPIPSAlex()
+    return _finalize_lpips(LPIPSAlex(), weights_path)
+
+
+def _finalize_lpips(model, weights_path):
+    import torch
     state = torch.load(weights_path, map_location="cpu",
                        weights_only=True)
     model.load_state_dict(state, strict=True)
@@ -176,6 +180,168 @@ def _build_lpips_alex(weights_path):
     for p in model.parameters():
         p.requires_grad_(False)
     return model
+
+
+def _lpips_forward(self, in0, in1):
+    """Shared LPIPS forward: scale -> backbone taps -> unit-normalize ->
+    squared diff -> 1x1 lin heads -> spatial mean -> sum over taps
+    (the lpips package's `spatial=False, lpips=True` forward)."""
+    import torch
+    in0 = (in0 - self.scaling_layer.shift) / self.scaling_layer.scale
+    in1 = (in1 - self.scaling_layer.shift) / self.scaling_layer.scale
+    taps0, taps1 = self.net(in0), self.net(in1)
+    total = 0.0
+    for i, (f0, f1) in enumerate(zip(taps0, taps1)):
+        n0 = f0 / torch.sqrt((f0 ** 2).sum(dim=1, keepdim=True) + 1e-10)
+        n1 = f1 / torch.sqrt((f1 ** 2).sum(dim=1, keepdim=True) + 1e-10)
+        d = (n0 - n1) ** 2
+        total = total + getattr(self, f"lin{i}")(d).mean(
+            dim=(2, 3), keepdim=True
+        )
+    return total
+
+
+def _build_lpips_vgg(weights_path):
+    """Native LPIPS(vgg) loading a LOCAL `lpips.LPIPS(net='vgg')` state
+    dict (reference dependency: loss_metric/metric.py:84-90, which
+    accepts net in {alex, vgg, squeeze}). Backbone: torchvision VGG16
+    `features`, taps after relu1_2/2_2/3_3/4_3/5_3, grouped into the
+    lpips-package slices [0:4], [4:9], [9:16], [16:23], [23:30]."""
+    import torch
+    import torch.nn as nn
+
+    # (slice, features-index, module-ctor) — indices follow torchvision
+    # vgg16.features so exported state-dict keys match verbatim
+    cfg = [
+        (1, [(0, ("conv", 3, 64)), (1, "relu"), (2, ("conv", 64, 64)),
+             (3, "relu")]),
+        (2, [(4, "pool"), (5, ("conv", 64, 128)), (6, "relu"),
+             (7, ("conv", 128, 128)), (8, "relu")]),
+        (3, [(9, "pool"), (10, ("conv", 128, 256)), (11, "relu"),
+             (12, ("conv", 256, 256)), (13, "relu"),
+             (14, ("conv", 256, 256)), (15, "relu")]),
+        (4, [(16, "pool"), (17, ("conv", 256, 512)), (18, "relu"),
+             (19, ("conv", 512, 512)), (20, "relu"),
+             (21, ("conv", 512, 512)), (22, "relu")]),
+        (5, [(23, "pool"), (24, ("conv", 512, 512)), (25, "relu"),
+             (26, ("conv", 512, 512)), (27, "relu"),
+             (28, ("conv", 512, 512)), (29, "relu")]),
+    ]
+
+    def make(spec):
+        if spec == "relu":
+            return nn.ReLU(inplace=True)
+        if spec == "pool":
+            return nn.MaxPool2d(2, 2)
+        _, cin, cout = spec
+        return nn.Conv2d(cin, cout, 3, 1, 1)
+
+    model = _make_lpips_module(cfg, make, chns=(64, 128, 256, 512, 512))
+    return _finalize_lpips(model, weights_path)
+
+
+def _build_lpips_squeeze(weights_path):
+    """Native LPIPS(squeeze): torchvision SqueezeNet1_1 `features` with
+    the lpips package's 7 taps (slices [0:2], [2:5], [5:8], [8:10],
+    [10:11], [11:12], [12:13]) and 7 lin heads."""
+    import torch
+    import torch.nn as nn
+
+    class Fire(nn.Module):
+        def __init__(self, cin, sq, e1, e3):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, sq, 1)
+            self.squeeze_activation = nn.ReLU(inplace=True)
+            self.expand1x1 = nn.Conv2d(sq, e1, 1)
+            self.expand1x1_activation = nn.ReLU(inplace=True)
+            self.expand3x3 = nn.Conv2d(sq, e3, 3, padding=1)
+            self.expand3x3_activation = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            x = self.squeeze_activation(self.squeeze(x))
+            return torch.cat([
+                self.expand1x1_activation(self.expand1x1(x)),
+                self.expand3x3_activation(self.expand3x3(x)),
+            ], 1)
+
+    cfg = [
+        (1, [(0, ("conv", 3, 64)), (1, "relu")]),
+        (2, [(2, "pool"), (3, ("fire", 64, 16, 64, 64)),
+             (4, ("fire", 128, 16, 64, 64))]),
+        (3, [(5, "pool"), (6, ("fire", 128, 32, 128, 128)),
+             (7, ("fire", 256, 32, 128, 128))]),
+        (4, [(8, "pool"), (9, ("fire", 256, 48, 192, 192))]),
+        (5, [(10, ("fire", 384, 48, 192, 192))]),
+        (6, [(11, ("fire", 384, 64, 256, 256))]),
+        (7, [(12, ("fire", 512, 64, 256, 256))]),
+    ]
+
+    def make(spec):
+        if spec == "relu":
+            return nn.ReLU(inplace=True)
+        if spec == "pool":
+            return nn.MaxPool2d(3, 2, ceil_mode=True)
+        if spec[0] == "conv":
+            return nn.Conv2d(spec[1], spec[2], 3, stride=2)
+        return Fire(*spec[1:])
+
+    model = _make_lpips_module(
+        cfg, make, chns=(64, 128, 256, 384, 384, 512, 512)
+    )
+    return _finalize_lpips(model, weights_path)
+
+
+def _make_lpips_module(cfg, make, chns):
+    """Assemble an LPIPS module: backbone slices per `cfg` (module names
+    keep the torchvision `features` indices so lpips-package state dicts
+    load verbatim), scaling layer, and one 1x1 lin head per tap."""
+    import torch
+    import torch.nn as nn
+
+    class Feats(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.n_slices = len(cfg)
+            for si, mods in cfg:
+                s = nn.Sequential()
+                for idx, spec in mods:
+                    s.add_module(str(idx), make(spec))
+                setattr(self, f"slice{si}", s)
+
+        def forward(self, x):
+            taps = []
+            for si in range(1, self.n_slices + 1):
+                x = getattr(self, f"slice{si}")(x)
+                taps.append(x)
+            return taps
+
+    class Lin(nn.Module):
+        def __init__(self, chn):
+            super().__init__()
+            self.model = nn.Sequential(
+                nn.Dropout(), nn.Conv2d(chn, 1, 1, bias=False)
+            )
+
+        def forward(self, x):
+            return self.model(x)
+
+    class LPIPSNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.scaling_layer = nn.Module()
+            self.scaling_layer.register_buffer(
+                "shift", torch.zeros(1, 3, 1, 1)
+            )
+            self.scaling_layer.register_buffer(
+                "scale", torch.ones(1, 3, 1, 1)
+            )
+            self.net = Feats()
+            for i, c in enumerate(chns):
+                setattr(self, f"lin{i}", Lin(c))
+
+        forward = _lpips_forward
+
+    return LPIPSNet()
 
 
 def lpips(pred, target, min_target_val, max_target_val, net="alex",
@@ -193,13 +359,19 @@ def lpips(pred, target, min_target_val, max_target_val, net="alex",
     cache_key = (net, str(weights_path))
     if _LPIPS_UNAVAILABLE == cache_key:
         return None
+    builders = {
+        "alex": _build_lpips_alex,
+        "vgg": _build_lpips_vgg,
+        "squeeze": _build_lpips_squeeze,
+    }
     if _LPIPS_MODEL is None or _LPIPS_MODEL[0] != cache_key:
         try:
-            if net != "alex":
+            if net not in builders:
                 raise NotImplementedError(
-                    f"native LPIPS backbone {net!r} (only 'alex')"
+                    f"native LPIPS backbone {net!r} "
+                    f"(supported: {sorted(builders)})"
                 )
-            _LPIPS_MODEL = (cache_key, _build_lpips_alex(weights_path))
+            _LPIPS_MODEL = (cache_key, builders[net](weights_path))
         except Exception as e:
             print(f"LPIPS unavailable ({e}); recording NaN")
             _LPIPS_UNAVAILABLE = cache_key

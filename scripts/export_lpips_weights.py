@@ -28,9 +28,13 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", default="lpips_alex.pt")
-    parser.add_argument("--golden",
-                        default="tests/fixtures/lpips_alex_golden.npz")
+    parser.add_argument("--net", default="alex",
+                        choices=("alex", "vgg", "squeeze", "all"))
+    parser.add_argument("--out", default=None,
+                        help="state-dict path (default lpips_<net>.pt)")
+    parser.add_argument("--golden", default=None,
+                        help="golden fixture path (default "
+                             "tests/fixtures/lpips_<net>_golden.npz)")
     parser.add_argument("--num-pairs", type=int, default=4)
     parser.add_argument("--size", type=int, default=64)
     args = parser.parse_args()
@@ -38,24 +42,30 @@ def main():
     import lpips  # noqa: F401 (requires egress-capable environment)
     import torch
 
-    model = lpips.LPIPS(net="alex")
-    model.eval()
-    torch.save(model.state_dict(), args.out)
-    print(f"state dict -> {args.out}")
+    nets = ("alex", "vgg", "squeeze") if args.net == "all" \
+        else (args.net,)
+    for net in nets:
+        out = args.out or f"lpips_{net}.pt"
+        golden = args.golden or \
+            f"tests/fixtures/lpips_{net}_golden.npz"
+        model = lpips.LPIPS(net=net)
+        model.eval()
+        torch.save(model.state_dict(), out)
+        print(f"{net} state dict -> {out}")
 
-    rng = np.random.default_rng(20240917)
-    pairs_a = rng.uniform(
-        -1, 1, (args.num_pairs, 3, args.size, args.size)
-    ).astype(np.float32)
-    pairs_b = np.clip(
-        pairs_a + rng.normal(0, 0.2, pairs_a.shape), -1, 1
-    ).astype(np.float32)
-    with torch.no_grad():
-        values = model(
-            torch.from_numpy(pairs_a), torch.from_numpy(pairs_b)
-        ).reshape(-1).numpy()
-    np.savez(args.golden, a=pairs_a, b=pairs_b, lpips=values)
-    print(f"golden fixture -> {args.golden}: {values}")
+        rng = np.random.default_rng(20240917)
+        pairs_a = rng.uniform(
+            -1, 1, (args.num_pairs, 3, args.size, args.size)
+        ).astype(np.float32)
+        pairs_b = np.clip(
+            pairs_a + rng.normal(0, 0.2, pairs_a.shape), -1, 1
+        ).astype(np.float32)
+        with torch.no_grad():
+            values = model(
+                torch.from_numpy(pairs_a), torch.from_numpy(pairs_b)
+            ).reshape(-1).numpy()
+        np.savez(golden, a=pairs_a, b=pairs_b, lpips=values)
+        print(f"golden fixture -> {golden}: {values}")
 
 
 if __name__ == "__main__":
