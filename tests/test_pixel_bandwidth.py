@@ -372,3 +372,30 @@ def test_clamped_window_weights_sum_to_dc_and_stay_finite():
     # gradients through the normalized synthesis stay finite
     g = jax.grad(lambda x: jnp.sum(out_fn(x)))(it)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sample_times_dt_floor_invariant():
+    """Regression pin for the round-3 f32 FOH-backward overflow fix
+    (models/pixel_bandwidth.py:_sample_times): every consecutive dt
+    must be >= 100 ns even when the whole lifetime window clamps to
+    the dataset start. At the old 1e-6 ns floor the efficient FOH
+    discretization's VJP overflowed float32 on TPU (1/dt^2-scale
+    cotangents), NaN-ing every timestamp-path parameter within a few
+    optimizer steps (ROADMAP round-3 log; repro needs the real
+    training step, so the INVARIANT is pinned here and the downstream
+    finiteness in test_gradients_finite_with_min_ts_clamped_samples)."""
+    params, consts = make_model()
+    S, N = 30, 8
+    gen = jnp.full((S - 1, N), 0.5, jnp.float32)
+    # outputs barely after min_ts: the whole window clamps
+    out_ts = jnp.full(
+        (N,), int(consts["min_ts"]) + 1_000, jnp.int64
+    )
+    base, delta, dt = pb._sample_times(
+        params, consts, gen, out_ts, jnp.zeros((N,), jnp.float32)
+    )
+    dt = np.asarray(dt)
+    assert dt.shape == (S - 1, N)
+    assert np.all(dt >= 100.0), dt.min()
+    # and the clamp anchors the window start at min_ts exactly
+    assert np.all(np.asarray(base) >= int(consts["min_ts"]))

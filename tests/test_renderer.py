@@ -440,3 +440,73 @@ def test_march_truncation_flags_incomplete_rays():
         np.asarray(full["radiance"])[complete],
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_composite_precise_path_at_training_collapse_scale():
+    """Regression pin for the round-2 training collapse: at a ~2M-sample
+    buffer the GLOBAL f32 cumsum reaches ~1e4-1e5 where f32 ulp noise
+    (~1e-2-1e-1) is of the order of a whole sample's optical depth —
+    enough to corrupt per-ray transmittance and stall training at the
+    flat-field minimum. composite() must route the optical-depth VALUE
+    through the double-f32 precise path at every size; removing it (the
+    DENERF_NO_PRECISE_OPTICAL escape hatch simulates the revert) must
+    show the failure this test pins."""
+    import os
+
+    rng = np.random.default_rng(7)
+    n_rays = 16_384
+    counts = rng.integers(64, 192, n_rays)
+    K = int(counts.sum())
+    assert K > (1 << 21) - (1 << 19)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+        np.int32
+    )
+    ray_idx = np.repeat(np.arange(n_rays, dtype=np.int32), counts)
+    dt = np.full(K, 0.02, np.float32)
+    t_mid = rng.uniform(0.1, 4.0, K).astype(np.float32)
+    # moderate densities: per-sample optical depth ~0.002-0.2, global
+    # cumsum ~ 1e4 (the collapse regime)
+    sigma = rng.uniform(0.1, 10.0, K).astype(np.float32)
+    rgb = rng.uniform(0.0, 1.0, (K, 1)).astype(np.float32)
+
+    samples = renderer.RaySamples(
+        t_mid=jnp.asarray(np.append(t_mid, 0.0).astype(np.float32)),
+        dt=jnp.asarray(np.append(dt, 0.0).astype(np.float32)),
+        ray_idx=jnp.asarray(
+            np.append(ray_idx, n_rays).astype(np.int32)
+        ),
+        counts=jnp.asarray(counts.astype(np.int32)),
+        offsets=jnp.asarray(offsets),
+        num_samples=jnp.asarray(K, jnp.int32),
+    )
+    rc = make_rc(sample_budget=K)
+    sig = jnp.asarray(np.append(sigma, 0.0).astype(np.float32))
+    col = jnp.asarray(
+        np.concatenate([rgb, np.zeros((1, 1), np.float32)])
+    )
+
+    # float64 oracle (per-ray serial compositing semantics)
+    sdt64 = (sigma * 0.02).astype(np.float64)
+    cum64 = np.cumsum(sdt64)
+    seg_base = np.where(offsets > 0, cum64[np.maximum(offsets - 1, 0)],
+                        0.0)
+    optical64 = cum64 - sdt64 - seg_base[ray_idx]
+    w64 = np.exp(-optical64) * (1.0 - np.exp(-sdt64))
+    want = np.zeros((n_rays,), np.float64)
+    np.add.at(want, ray_idx, w64 * rgb[:, 0])
+
+    colors, _, _, _ = renderer.composite(sig, col, samples, n_rays, rc)
+    err_precise = np.abs(np.asarray(colors)[:, 0] - want).max()
+    assert err_precise < 1e-3, err_precise
+
+    # the revert (pure f32 value path) visibly corrupts rays: if this
+    # branch ever stops showing the failure, the pin is stale
+    os.environ["DENERF_NO_PRECISE_OPTICAL"] = "1"
+    try:
+        colors32, _, _, _ = renderer.composite(
+            sig, col, samples, n_rays, rc
+        )
+        err_f32 = np.abs(np.asarray(colors32)[:, 0] - want).max()
+    finally:
+        del os.environ["DENERF_NO_PRECISE_OPTICAL"]
+    assert err_f32 > 10 * err_precise, (err_f32, err_precise)
