@@ -65,7 +65,13 @@ run () {
   python -u scripts/quality_run.py \
     --config "$cfg" --data-root "$ds" \
     --log-dir "$RES/$name" "$@" > "/tmp/r3_$name.log" 2>&1
-  echo "=== $name done rc=$? ($(date +%H:%M)) ==="
+  local rc=$?
+  echo "=== $name done rc=$rc ($(date +%H:%M)) ==="
+  # ADVICE r3: failures must survive /tmp loss — record rc + log tail
+  echo "$name rc=$rc $(date +%H:%M)" >> "$RES/queue_status.txt"
+  if [ "$rc" -ne 0 ]; then
+    tail -40 "/tmp/r3_$name.log" > "$RES/${name}_FAILED_tail.log"
+  fi
   sleep 75
 }
 
@@ -99,10 +105,23 @@ echo "=== bench cache-hit done rc=$? ($(date +%H:%M)) ==="
 cat /tmp/r3_bench4b.json
 sleep 75
 
-if [ -n "${SHARP_WAIT:-1}" ] && [ -f /tmp/sharpgen.pid ]; then
-  while kill -0 "$(cat /tmp/sharpgen.pid)" 2>/dev/null; do sleep 30; done
+if [ "${SHARP_WAIT:-1}" != "0" ]; then
+  # ADVICE r3: poll the OUTPUT (not a reusable pid) and bound the wait
+  for i in $(seq 1 240); do
+    [ -f /tmp/denerf_sharp_dense_ds/raw_events.npz ] && break
+    grep -q "SHARP DENSE DATASET DONE" /tmp/sharpgen.log 2>/dev/null && break
+    sleep 30
+  done
 fi
-run quality_dense configs/train/quality_sphere_dense.yaml \
-  /tmp/denerf_sharp_dense_ds --batch-capacity 2048
+# ADVICE r3 (medium): quality_dense must NOT silently regenerate with
+# quality_run defaults — the intended 192px/3001-pose/ct=0.05 dataset
+# must exist
+if [ ! -f /tmp/denerf_sharp_dense_ds/raw_events.npz ]; then
+  echo "FATAL: sharp dense dataset missing; skipping quality_dense" \
+    | tee -a "$RES/queue_status.txt"
+else
+  run quality_dense configs/train/quality_sphere_dense.yaml \
+    /tmp/denerf_sharp_dense_ds --batch-capacity 2048
+fi
 
 echo "V13 ALL DONE $(date +%H:%M)"
