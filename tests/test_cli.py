@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import yaml
 
 from deblur_e_nerf_tpu.data import synthetic
@@ -13,6 +14,7 @@ from deblur_e_nerf_tpu.utils.config import load_config, save_config
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_run_cli_train_then_val(tmp_path):
     root = tmp_path / "ds"
     synthetic.make_dataset(

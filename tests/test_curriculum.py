@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deblur_e_nerf_tpu.models import fields, hash_encoding, nerf_model
 from deblur_e_nerf_tpu.models.contraction import ContractionType
@@ -39,6 +40,7 @@ def test_level_mask_schedule():
     assert nerf_model.level_mask_for_step(no_cur, jnp.asarray(0)) is None
 
 
+@pytest.mark.slow
 def test_masked_levels_get_zero_table_gradient():
     field = fields.NGPField(
         aabb=(-1, -1, -1, 1, 1, 1),

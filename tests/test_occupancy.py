@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deblur_e_nerf_tpu.models import contraction as cl
 from deblur_e_nerf_tpu.models import occupancy
@@ -38,6 +39,7 @@ def test_warmup_marks_sphere_cells():
     assert 0.02 < rate < 0.2
 
 
+@pytest.mark.slow
 def test_ema_decay_prunes_emptied_cells():
     state = occupancy.init_state(RES)
     state = run_update(state, step=0)

@@ -72,6 +72,7 @@ def test_mesh_construction():
     assert mesh.axis_names == (mesh_lib.DATA_AXIS,)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(dp_setup):
     root, bundle, params, tx = dp_setup
     mesh = mesh_lib.make_mesh()
@@ -134,6 +135,7 @@ def test_sharded_occ_update(dp_setup):
     assert 0.0 < rate <= 1.0
 
 
+@pytest.mark.slow
 def test_trainer_mesh_path(tmp_path, dp_setup):
     """The user-facing Trainer trains end-to-end over the CPU mesh
     (run.py --mesh analog; VERDICT round-1 item 4)."""
@@ -159,6 +161,7 @@ def test_trainer_mesh_path(tmp_path, dp_setup):
     assert tr.global_step == 2
 
 
+@pytest.mark.slow
 def test_multislice_mesh_numerics(dp_setup):
     """2-D ('replica', 'data') mesh (the reference num_nodes analog)
     matches the single-device step numerically."""
@@ -209,6 +212,7 @@ def test_multiprocess_batch_assembly_matches_device_put(dp_setup):
                                       np.asarray(b[k]))
 
 
+@pytest.mark.slow
 def test_sharded_step_with_occlusion_prepass(dp_setup):
     """The prepass's per-shard compaction must be SPMD-clean: batch
     sharded over `data`, every cumsum/scatter shard-local, and the

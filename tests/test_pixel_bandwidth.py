@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deblur_e_nerf_tpu.models import pixel_bandwidth as pb
 from deblur_e_nerf_tpu.ops import control
@@ -130,6 +131,7 @@ def test_weights_match_reference_loop():
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_lti_response_matches_dense_simulation():
     """For a time-invariant linearization (constant steady-state intensity)
     and a piecewise-linear input, the weighted-sample output must match a
@@ -177,6 +179,7 @@ def test_lti_response_matches_dense_simulation():
     np.testing.assert_allclose(got, want, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_reset_state_decay():
     """After a reset, the diff-amp deviation decays as exp(-w_c_diff dt)."""
     params, consts = make_model()
@@ -208,6 +211,7 @@ def test_reset_state_decay():
     np.testing.assert_allclose(np.asarray(out_later), want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_differentiable_wrt_params_and_intensity():
     params, consts = make_model()
     S, N = 8, 4
@@ -234,6 +238,7 @@ def test_forward_differentiable_wrt_params_and_intensity():
     assert float(g_scale) != 0.0
 
 
+@pytest.mark.slow
 def test_forward_fused_matches_sequential():
     """One batched forward over R slices == R sequential forward calls
     with the reset state threaded between them."""
@@ -287,6 +292,7 @@ def test_forward_fused_matches_sequential():
     )
 
 
+@pytest.mark.slow
 def test_gradients_finite_with_min_ts_clamped_samples():
     """Regression (round 3): events near the dataset start get most of
     their lifetime-sampled input timestamps clamped to min_ts, producing

@@ -242,6 +242,7 @@ def test_preprocess_esim_write_dataset(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_eds_converted_dataset_trains(raw_eds):
     """Dress rehearsal (round 3): the eds_to_esim output layout drives
     the REAL training stack end to end — Trainer build, event packing,

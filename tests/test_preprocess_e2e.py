@@ -13,6 +13,7 @@ import shutil
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -95,6 +96,7 @@ CONF_TEXT = (
 )
 
 
+@pytest.mark.slow
 def test_preprocess_main_path_to_training(tmp_path):
     src = tmp_path / "src_scene"
     synthetic.make_dataset(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deblur_e_nerf_tpu.models import occupancy, renderer
 from deblur_e_nerf_tpu.models.contraction import ContractionType
@@ -101,6 +102,7 @@ def brute_force_render(o, d, rc, binary=None):
     return colors, opac, depth
 
 
+@pytest.mark.slow
 def test_render_matches_brute_force_all_occupied():
     rng = np.random.default_rng(0)
     o, d = random_rays(rng, 8)
@@ -154,6 +156,7 @@ def test_masked_rays_produce_nothing():
     )
 
 
+@pytest.mark.slow
 def test_sample_budget_overflow_is_reported():
     rng = np.random.default_rng(3)
     o, d = random_rays(rng, 8)
@@ -185,6 +188,7 @@ def test_early_stop_reduces_sample_count():
     )
 
 
+@pytest.mark.slow
 def test_render_differentiable_wrt_field():
     """Gradient flows through compositing into a parametrized field."""
     rng = np.random.default_rng(5)
@@ -251,6 +255,7 @@ def test_stratified_jitter_changes_samples():
     )
 
 
+@pytest.mark.slow
 def test_precise_excl_segment_cumsum_16m():
     """Double-f32 exclusive segment cumsum vs a float64 oracle at an
     eval-scale buffer (16M+ samples) — the size that used to fall back
@@ -310,6 +315,7 @@ def _gaussian_density_only(x):
     return gaussian_field(x)[1]
 
 
+@pytest.mark.slow
 def test_occlusion_prepass_matches_full_render():
     """Prepass culling + compaction must be output- AND gradient-exact:
     dead samples (trans <= eps) carry zero weight and zero cotangent in
@@ -414,6 +420,7 @@ def test_occlusion_prepass_overflow_reported():
     assert not complete.all()
 
 
+@pytest.mark.slow
 def test_march_truncation_flags_incomplete_rays():
     """A too-small SAMPLE budget drops trailing rays' samples; those
     rays must be flagged incomplete while the leading complete rays
@@ -442,6 +449,7 @@ def test_march_truncation_flags_incomplete_rays():
     )
 
 
+@pytest.mark.slow
 def test_composite_precise_path_at_training_collapse_scale():
     """Regression pin for the round-2 training collapse: at a ~2M-sample
     buffer the GLOBAL f32 cumsum reaches ~1e4-1e5 where f32 ulp noise

@@ -26,6 +26,7 @@ def tiny_config(root):
     return config
 
 
+@pytest.mark.slow
 def test_trainer_resume_roundtrip(tmp_path):
     root = tmp_path / "ds"
     synthetic.make_dataset(

@@ -45,6 +45,7 @@ def test_setup_shapes(tiny_setup):
     assert bundle.model.radiance_dim == 1  # monochrome
 
 
+@pytest.mark.slow
 def test_occupancy_update_and_train_steps(tiny_setup):
     root, config, bundle, params = tiny_setup
     sc = bundle.static_config
@@ -112,6 +113,7 @@ def test_occupancy_update_and_train_steps(tiny_setup):
         assert all(jax.tree_util.tree_leaves(same)), comp
 
 
+@pytest.mark.slow
 def test_no_pixel_bandwidth_path(tiny_setup):
     root, config0, _, _ = tiny_setup
     config = load_config("/root/reference/configs/train/synthetic.yaml")
@@ -172,6 +174,7 @@ def test_table_row_decay_transform():
     )
 
 
+@pytest.mark.slow
 def test_density_sparsity_prior(tiny_setup):
     """The fog loss is reported, positive (trunc-exp density > 0
     everywhere), and adds gradient pressure on the field."""

@@ -47,6 +47,7 @@ def dataset(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_accumulation_window_constant_batch_and_warmup_occ(tmp_path,
                                                            dataset):
     config = tiny_config(dataset)

@@ -1,6 +1,7 @@
 """Trajectory interpolation: analytic lerp/slerp checks."""
 
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation, Slerp
 
 from deblur_e_nerf_tpu.models import trajectory as traj
@@ -19,6 +20,7 @@ def make_poses(rng, C=10):
     }
 
 
+@pytest.mark.slow
 def test_interpolation_at_knots():
     rng = np.random.default_rng(0)
     poses = make_poses(rng)
@@ -30,6 +32,7 @@ def test_interpolation_at_knots():
     np.testing.assert_allclose(np.asarray(R), want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_interpolation_midpoints():
     rng = np.random.default_rng(1)
     poses = make_poses(rng, C=5)

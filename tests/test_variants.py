@@ -74,6 +74,7 @@ def run_steps(root, config, n_steps=2):
     return bundle, losses
 
 
+@pytest.mark.slow
 def test_vanilla_nerf_arch_trains(tmp_path):
     root = tmp_path / "ds"
     synthetic.make_dataset(
@@ -85,6 +86,7 @@ def test_vanilla_nerf_arch_trains(tmp_path):
     assert all(np.isfinite(v) for v in losses)
 
 
+@pytest.mark.slow
 def test_bayer_color_training(tmp_path):
     root = tmp_path / "ds"
     synthetic.make_dataset(
