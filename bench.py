@@ -104,13 +104,20 @@ def _remaining():
 # device fetch; on a stall it prints the contract JSON line and
 # force-exits 0 so the driver ALWAYS records a parsable result.
 STALL_S = float(os.environ.get("DENERF_BENCH_STALL_S", "480"))
-_HEARTBEAT = [time.time(), "startup"]
+# compile-prone phases legitimately go silent for many minutes (the
+# fused step compiles ~5-15 min through the relay): beats carry a grace
+# override that widens the stall threshold until the next beat
+COMPILE_GRACE_S = float(os.environ.get("DENERF_BENCH_COMPILE_GRACE_S",
+                                       "2400"))
+_HEARTBEAT = [time.time(), "startup", None]  # [t, tag, grace_override]
+_HEARTBEAT[2] = COMPILE_GRACE_S  # process start -> first compile
 _JSON_EMITTED = [False]
 
 
-def _beat(tag):
+def _beat(tag, grace=None):
     _HEARTBEAT[0] = time.time()
     _HEARTBEAT[1] = tag
+    _HEARTBEAT[2] = grace
 
 
 def _start_watchdog():
@@ -122,7 +129,8 @@ def _start_watchdog():
             if _JSON_EMITTED[0]:
                 return
             silent = time.time() - _HEARTBEAT[0]
-            if silent > STALL_S:
+            limit = _HEARTBEAT[2] or STALL_S
+            if silent > limit:
                 print(
                     f"WATCHDOG: no heartbeat for {silent:.0f}s "
                     f"(last: {_HEARTBEAT[1]}); TPU relay stall — "
@@ -400,6 +408,8 @@ def main():
                     k: jnp.asarray(v)
                     for k, v in batcher_a.next_batch(ctrl_a.active).items()
                 }
+                if i == start_step:
+                    _beat("converge compile", grace=COMPILE_GRACE_S)
                 state_a, m_a = step_a(state_a, batch, jax.random.PRNGKey(i))
                 m_val = float(m_a["mean_num_samples_per_ray"])
                 ctrl_a.update(m_val)
@@ -449,6 +459,7 @@ def main():
                     ema_decay=SETTLE_EMA, warmup_steps=1,
                 ))
                 t0 = time.time()
+                _beat("settle compile", grace=COMPILE_GRACE_S)
                 for j in range(SETTLE_UPDATES):
                     occ = settle_fn(
                         state_a.params["nerf"], state_a.occ_state,
@@ -592,6 +603,7 @@ def main():
         return metrics
 
     step_est = 60.0
+    _beat("protocol compile", grace=COMPILE_GRACE_S)
     for i in range(WARMUP_STEPS):
         t0 = time.time()
         m = run_step(i, controller.active)
