@@ -17,6 +17,7 @@ power-of-two table size).
 """
 
 import functools
+import os
 import math
 from typing import Sequence, Tuple
 
@@ -303,6 +304,33 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
             uc, res, size, offset, mode, table_dtype
         )
         flat_idx = idx.reshape(-1)
+        if os.environ.get("DENERF_HASH_BWD") == "sort":
+            # sort-by-index + cumsum + boundary-diff: an exact segment
+            # sum with ZERO scatters (grad[t] = csum[hi(t)] -
+            # csum[lo(t)], boundaries via searchsorted on the sorted
+            # keys). A/B candidate vs the ~6.4 ns/elem direct scatter
+            # (VERDICT r3 #2a); enabled per-run via DENERF_HASH_BWD.
+            local_idx = flat_idx - offset
+            payloads = tuple(
+                (w * g_level[..., f:f + 1]).reshape(-1)
+                for f in range(F)
+            )
+            sorted_all = jax.lax.sort((local_idx,) + payloads,
+                                      num_keys=1)
+            sidx = sorted_all[0]
+            bounds = jnp.searchsorted(
+                sidx, jnp.arange(size + 1, dtype=sidx.dtype),
+                method="scan_unrolled",
+            )
+            lo, hi = bounds[:-1], bounds[1:]
+            segs = []
+            for f in range(F):
+                c = jnp.cumsum(sorted_all[1 + f])
+                hi_v = c[jnp.maximum(hi - 1, 0)]
+                lo_v = jnp.where(lo > 0, c[jnp.maximum(lo - 1, 0)], 0.0)
+                segs.append(jnp.where(hi > lo, hi_v - lo_v, 0.0))
+            dense_grads.append((offset, jnp.stack(segs, axis=-1)))
+            continue
         for f in range(F):
             contrib = (w * g_level[..., f:f + 1]).reshape(-1)
             grad_cols[f] = grad_cols[f].at[flat_idx].add(contrib)
