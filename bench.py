@@ -624,6 +624,9 @@ def main():
               f"{TIMED_STEPS} ({_remaining():.0f}s left, "
               f"~{step_est:.1f}s/step)", file=sys.stderr, flush=True)
 
+    profile_dir = os.environ.get("DENERF_BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     total_rays = 0
     total_samples = 0
     t0 = time.time()
@@ -643,6 +646,10 @@ def main():
             n_rays * float(m["mean_num_samples_per_ray"])
         )
     elapsed = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profile trace -> {profile_dir}", file=sys.stderr,
+              flush=True)
 
     if not np.isfinite(float(m["loss"])):
         print("WARNING: non-finite loss in timed steps", file=sys.stderr,
