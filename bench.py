@@ -62,8 +62,10 @@ CONVERGE_BUDGET = int(os.environ.get("DENERF_BENCH_CONVERGE_BUDGET",
                                      str(1 << 21)))
 CONVERGE_CAPACITY = int(os.environ.get("DENERF_BENCH_CONVERGE_CAPACITY",
                                        "2048"))
-# occlusion-prepass divisor for the timed program (0 = off)
-PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "2"))
+# occlusion-prepass divisor for the timed program (0 = off). Default 1:
+# div=2 overflowed its buffer on the converged bench scene (live samples
+# dropped -> tainted number, r4 first attempt), div=1 runs clean.
+PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "1"))
 # occupancy settle: the field converges long before a 0.95-EMA grid can
 # carve (measured on TPU: loss 0.009 with occ-rate still 1.0 at converge
 # step 250) — after the converge train loop, repeated FULL-GRID updates

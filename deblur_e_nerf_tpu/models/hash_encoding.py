@@ -304,12 +304,15 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
             uc, res, size, offset, mode, table_dtype
         )
         flat_idx = idx.reshape(-1)
-        if os.environ.get("DENERF_HASH_BWD") == "sort":
+        if os.environ.get("DENERF_HASH_BWD", "sort") == "sort":
             # sort-by-index + cumsum + boundary-diff: an exact segment
             # sum with ZERO scatters (grad[t] = csum[hi(t)] -
             # csum[lo(t)], boundaries via searchsorted on the sorted
-            # keys). A/B candidate vs the ~6.4 ns/elem direct scatter
-            # (VERDICT r3 #2a); enabled per-run via DENERF_HASH_BWD.
+            # keys). Default since r4: 5.15 ns/elem-equiv vs 42.9 for
+            # the direct scatter (scripts/perf_microbench.py, TPU v5
+            # lite), and the full-buffer scatter (prepass div=1)
+            # repeatedly faulted the device where this path ran clean.
+            # Opt back into the scatter with DENERF_HASH_BWD=scatter.
             local_idx = flat_idx - offset
             payloads = tuple(
                 (w * g_level[..., f:f + 1]).reshape(-1)

@@ -45,8 +45,11 @@ def test_table_gradient_matches_autodiff(setup):
 
     g_ref = jax.grad(loss_ref)(table)
     g_fast = jax.grad(loss_fast)(table)
+    # the default sort+cumsum backward accumulates in sorted order while
+    # autodiff's scatter accumulates in occurrence order; f32 summation
+    # order differs (exact in exact arithmetic)
     np.testing.assert_allclose(
-        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+        np.asarray(g_fast), np.asarray(g_ref), rtol=2e-3, atol=2e-5
     )
 
 
@@ -105,8 +108,11 @@ def test_cellhash_table_gradient_matches_autodiff(cellhash_setup):
 
     g_ref = jax.grad(loss_ref)(table)
     g_fast = jax.grad(loss_fast)(table)
+    # the default sort+cumsum backward accumulates in sorted order while
+    # autodiff's scatter accumulates in occurrence order; f32 summation
+    # order differs (exact in exact arithmetic)
     np.testing.assert_allclose(
-        np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5, atol=1e-6
+        np.asarray(g_ref), np.asarray(g_fast), rtol=2e-3, atol=2e-5
     )
     assert float(jnp.sum(jnp.abs(g_fast))) > 0
 
@@ -154,8 +160,9 @@ def test_hybrid_gradient_matches_autodiff():
     )
     g_ref = jax.grad(lambda t: loss(t, True))(table)
     g_fast = jax.grad(lambda t: loss(t, False))(table)
+    # f32 summation-order tolerance (sort+cumsum default backward)
     np.testing.assert_allclose(
-        np.asarray(g_fast), np.asarray(g_ref), rtol=1e-5, atol=1e-6
+        np.asarray(g_fast), np.asarray(g_ref), rtol=5e-4, atol=1e-5
     )
 
 def test_sort_backward_matches_scatter(setup, monkeypatch):
@@ -172,7 +179,7 @@ def test_sort_backward_matches_scatter(setup, monkeypatch):
                                    differentiable_positions=False)
         return jnp.sum(out * cotangent)
 
-    monkeypatch.delenv("DENERF_HASH_BWD", raising=False)
+    monkeypatch.setenv("DENERF_HASH_BWD", "scatter")
     g_scatter = jax.grad(loss)(table)
     monkeypatch.setenv("DENERF_HASH_BWD", "sort")
     g_sort = jax.grad(loss)(table)
