@@ -315,18 +315,38 @@ def intensity_sample_to_weight(params, consts, intensity_sample,
     )
 
 
+def _collapse_weighted_log_it(weight, intensity_sample):
+    """Weight-normalized log-intensity collapse shared by `forward` and
+    `forward_fused`: (S, ..., o) weights x (S, ...) intensities ->
+    (..., o) output log-intensities."""
+    normalized_weight = weight / jnp.sum(weight, axis=0, keepdims=True)
+    log_it = jnp.log(intensity_sample)[..., None]  # (S, ..., 1)
+    return jnp.sum(normalized_weight * log_it, axis=0)  # (..., o)
+
+
+def _reset_decay(params, reset_state, ts, ts_delta):
+    """Differencing-amp reset correction decayed from reset_state's
+    timestamp to (ts, ts_delta); shared by `forward` and
+    `forward_fused`."""
+    eff = effective_params(params)
+    omega_c_diff = 1.0 / eff["tau_diff"]
+    reset_dt = (
+        (ts - reset_state.reset_ts).astype(
+            reset_state.reset_delta_log_it.dtype)
+        + (ts_delta - reset_state.reset_ts_delta)
+    )
+    return reset_state.reset_delta_log_it * jnp.exp(
+        -omega_c_diff * (NS_TO_S * reset_dt)
+    )
+
+
 def weighted_samples_to_output_log_it(params, weight, intensity_sample,
                                       last_sample_ts, last_sample_delta,
                                       reset_state, reset_diff=False):
     """Weight-normalized log-intensity synthesis + differencing-amp reset
     (reference: pixel_bandwidth.py:398-448). Returns
     (output_log_intensity, new_reset_state)."""
-    normalized_weight = weight / jnp.sum(weight, axis=0, keepdims=True)
-    log_it = jnp.log(intensity_sample)[..., None]  # (S, ..., 1)
-    out = jnp.sum(normalized_weight * log_it, axis=0)  # (..., o)
-
-    eff = effective_params(params)
-    omega_c_diff = 1.0 / eff["tau_diff"]
+    out = _collapse_weighted_log_it(weight, intensity_sample)
 
     if reset_diff:
         sf_log_it = out[..., 0]
@@ -340,13 +360,8 @@ def weighted_samples_to_output_log_it(params, weight, intensity_sample,
         return sf_log_it, new_state
 
     diff_log_it_bfr_reset = out[..., 0]
-    reset_dt = (
-        (last_sample_ts - reset_state.reset_ts).astype(out.dtype)
-        + (last_sample_delta - reset_state.reset_ts_delta)
-    )
-    decayed = reset_state.reset_delta_log_it * jnp.exp(
-        -omega_c_diff * (NS_TO_S * reset_dt)
-    )
+    decayed = _reset_decay(params, reset_state, last_sample_ts,
+                           last_sample_delta)
     return diff_log_it_bfr_reset - decayed, reset_state
 
 
@@ -419,7 +434,6 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
         params, consts, intensity_sample, sample_dt,
         output_sf_log_it=True,
     )  # (S, R*N, 2): rows [sf, diff]
-    wsum = jnp.sum(weight, axis=0, keepdims=True)
     if os.environ.get("DENERF_DEBUG_NANS"):
         # trace-time NaN-localization metrics (stats dict pass-through
         # via dbg_ prefix; see training/step.py) for hunting
@@ -431,40 +445,36 @@ def forward_fused(params, consts, normalized_interval_gen, output_ts,
             dbg_min_intensity=jnp.min(intensity_sample),
             dbg_nonfinite_weight=jnp.sum(
                 ~jnp.isfinite(weight)).astype(jnp.float32),
-            dbg_min_abs_wsum=jnp.min(jnp.abs(wsum)),
+            dbg_min_abs_wsum=jnp.min(jnp.abs(
+                jnp.sum(weight, axis=0, keepdims=True))),
             dbg_min_sample_dt=jnp.min(sample_dt),
             dbg_max_abs_delta=jnp.max(jnp.abs(output_ts_delta)),
         )
         aux = (stats,) + tuple(aux[1:])
-    normalized_weight = weight / wsum
-    log_it = jnp.log(intensity_sample)[..., None]
-    out = jnp.sum(normalized_weight * log_it, axis=0)  # (R*N, 2)
+    out = _collapse_weighted_log_it(weight, intensity_sample)  # (R*N, 2)
     sf_log_it = out[..., 0]
     diff_log_it_bfr_reset = out[..., 1]
 
     n = slice_size
     n_slices = out.shape[0] // n
-    reset_delta = diff_log_it_bfr_reset[:n] - sf_log_it[:n]
-    reset_base = output_ts[:n]
-    reset_ts_delta = output_ts_delta[:n]
-
-    eff = effective_params(params)
-    omega_c_diff = 1.0 / eff["tau_diff"]
-    reset_dt = (
-        (output_ts - jnp.tile(reset_base, n_slices)).astype(jnp.float32)
-        + (output_ts_delta - jnp.tile(reset_ts_delta, n_slices))
+    new_state = ResetState(
+        reset_delta_log_it=diff_log_it_bfr_reset[:n] - sf_log_it[:n],
+        reset_ts=output_ts[:n],
+        reset_ts_delta=output_ts_delta[:n],
     )
-    decayed = jnp.tile(reset_delta, n_slices) * jnp.exp(
-        -omega_c_diff * (NS_TO_S * reset_dt)
+    tiled_state = ResetState(
+        reset_delta_log_it=jnp.tile(new_state.reset_delta_log_it,
+                                    n_slices),
+        reset_ts=jnp.tile(new_state.reset_ts, n_slices),
+        reset_ts_delta=jnp.tile(new_state.reset_ts_delta, n_slices),
     )
+    decayed = _reset_decay(params, tiled_state, output_ts,
+                           output_ts_delta)
     out_all = jnp.concatenate([
         sf_log_it[:n],                                 # reset slice
         (diff_log_it_bfr_reset - decayed)[n:],         # consumers
     ])
-    return out_all, aux, ResetState(
-        reset_delta_log_it=reset_delta, reset_ts=reset_base,
-        reset_ts_delta=reset_ts_delta,
-    )
+    return out_all, aux, new_state
 
 
 def forward(params, consts, normalized_interval_gen, output_ts,
