@@ -62,10 +62,15 @@ CONVERGE_BUDGET = int(os.environ.get("DENERF_BENCH_CONVERGE_BUDGET",
                                      str(1 << 21)))
 CONVERGE_CAPACITY = int(os.environ.get("DENERF_BENCH_CONVERGE_CAPACITY",
                                        "2048"))
-# occlusion-prepass divisor for the timed program (0 = off). Default 1:
-# div=2 overflowed its buffer on the converged bench scene (live samples
-# dropped -> tainted number, r4 first attempt), div=1 runs clean.
-PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "1"))
+# occlusion-prepass divisor for the timed program (0 = off). Default 0
+# since round 5: the converged bench scene has live ~= marched samples
+# (r4 steps logged prepass_overflow ~1.0 at div=1 — early termination
+# culls nearly nothing there), so the prepass' extra density-only
+# forward over the full buffer was pure overhead; div=2 overflowed its
+# buffer outright (live demand > budget/2, r4 first attempt). Real
+# scenes with opaque surfaces DO cull — the prepass stays on in the
+# quality configs.
+PREPASS_DIV = int(os.environ.get("DENERF_BENCH_PREPASS_DIV", "0"))
 # occupancy settle: the field converges long before a 0.95-EMA grid can
 # carve (measured on TPU: loss 0.009 with occ-rate still 1.0 at converge
 # step 250) — after the converge train loop, repeated FULL-GRID updates
@@ -606,15 +611,33 @@ def main():
 
     step_est = 60.0
     _beat("protocol compile", grace=COMPILE_GRACE_S)
-    for i in range(WARMUP_STEPS):
+    # warmup runs until the samples-per-ray estimate is STATIONARY
+    # (|dm|/m < 5% on consecutive steps, twice in a row): the timed
+    # program differs from the converge program (blur on, stratified
+    # timeline), so the controller/occupancy equilibrium shifts on the
+    # first protocol steps — round 4 timed a drifting state
+    # (m 194 -> 324 across its 5 timed steps, VERDICT weak #4)
+    max_warmup = int(os.environ.get("DENERF_BENCH_MAX_WARMUP", "12"))
+    m_prev = None
+    stat_hits = 0
+    warmup_done = 0
+    for i in range(max(WARMUP_STEPS, max_warmup)):
         t0 = time.time()
         m = run_step(i, controller.active)
-        controller.update(float(m["mean_num_samples_per_ray"]))
+        m_val = float(m["mean_num_samples_per_ray"])
+        controller.update(m_val)
         step_est = time.time() - t0
-        print(f"warmup {i}: {step_est:.1f}s "
-              f"m={float(m['mean_num_samples_per_ray']):.1f}",
+        drift = abs(m_val - m_prev) / max(m_val, 1e-6) \
+            if m_prev is not None else 1.0
+        print(f"warmup {i}: {step_est:.1f}s m={m_val:.1f} "
+              f"drift={drift:.3f}",
               file=sys.stderr, flush=True)
-        if _remaining() < 3 * step_est:
+        m_prev = m_val
+        warmup_done = i + 1
+        stat_hits = stat_hits + 1 if drift < 0.05 else 0
+        if warmup_done >= WARMUP_STEPS and stat_hits >= 2:
+            break  # stationary: safe to time
+        if _remaining() < max(3 * step_est, PHASE_B_RESERVE_S / 6):
             break  # warmup 0 paid the compile; that is the essential one
 
     # adapt the timed-step count to the remaining budget (>= 2 steps so
@@ -632,9 +655,10 @@ def main():
     total_rays = 0
     total_samples = 0
     t0 = time.time()
+    m_first = m_last = None
     for i in range(timed_steps):
         active = controller.active
-        m = run_step(WARMUP_STEPS + i, active)
+        m = run_step(warmup_done + i, active)
         controller.update(float(m["mean_num_samples_per_ray"]))
         print(f"step {i}: loss={float(m['loss']):.4f} active={active} "
               f"m={float(m['mean_num_samples_per_ray']):.1f} "
@@ -647,6 +671,9 @@ def main():
         total_samples += int(
             n_rays * float(m["mean_num_samples_per_ray"])
         )
+        m_last = float(m["mean_num_samples_per_ray"])
+        if m_first is None:
+            m_first = m_last
     elapsed = time.time() - t0
     if profile_dir:
         jax.profiler.stop_trace()
@@ -689,6 +716,12 @@ def main():
         "converged": conv_nerf_params is not None,
         "converge_steps": CONVERGE_STEPS,
         "timed_steps": timed_steps,
+        # stationarity of the timed window: |m_last - m_first| / m_last
+        # (round-4's published number drifted 194 -> 324 = 0.40; the
+        # warmup now gates on < 5% per-step drift before timing)
+        "m_drift": round(
+            abs(m_last - m_first) / max(m_last, 1e-6), 4
+        ) if m_last is not None else None,
         "sample_budget": budget,
         "elapsed_s": round(time.time() - _T_START, 1),
     }))

@@ -15,6 +15,8 @@ import math
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax.nn import initializers
 
@@ -118,6 +120,10 @@ class NGPField(nn.Module):
     base_resolution: int = 16
     per_level_scale: float = 1.4472692012786865
     cellhash_min_load: float = 8.0   # HybridHashGrid switch point
+    # dtype the encode GATHERS the table in (param + grads stay f32);
+    # "bfloat16" halves the encode's HBM traffic, matching the
+    # reference's fp16 tcnn table (external/ngp.py:166-170)
+    grid_compute_dtype: str = "float32"
     # dir encoding
     sh_degree: int = 4
     # mlp_base config
@@ -193,8 +199,16 @@ class NGPField(nn.Module):
         # sample positions are stop-gradiented in the render path, so the
         # fast frozen-position table-gradient path applies
         feat = hash_encoding.encode(
-            self.table, u, self.levels, differentiable_positions=False
+            self.table, u, self.levels, differentiable_positions=False,
+            compute_dtype=(
+                None if self.grid_compute_dtype == "float32"
+                else jnp.dtype(self.grid_compute_dtype)
+            ),
         )
+        # named for the renderer's remat policy: saving the encode output
+        # keeps the gather — the most expensive op in the step — out of
+        # the backward-pass recompute (renderer.py field_chunk path)
+        feat = jax.ad_checkpoint.checkpoint_name(feat, "hash_encode_out")
         if level_mask is not None:
             feat = feat * jnp.repeat(
                 jnp.asarray(level_mask, feat.dtype),

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import compensated
+
 _HASH_PRIMES = (1, 2654435761, 805459861)
 
 
@@ -210,49 +212,177 @@ def _level_indices_weights(uc, res, size, offset, mode, dtype):
     return idx, jnp.prod(w, axis=-1)
 
 
-def _encode_impl(table, u, levels):
+def _group_size():
+    """Max levels per batched gather group. The batched (..., L, 8)
+    index/row intermediates put (L, 8) on the minor axes, which the TPU
+    tile-pads 16x — at the renderer's 2M-sample field chunks a full
+    16-level batch is ~11 GB of fusion intermediates (measured OOM),
+    while singleton groups reproduce the round-4 per-level fusions.
+    Default 4 keeps the intermediate ~2.8 GB-peak-equivalent (fused in
+    practice) and cuts the fusion count 4x; tune via DENERF_ENCODE_GROUP.
+    """
+    return max(int(os.environ.get("DENERF_ENCODE_GROUP", "4")), 1)
+
+
+def _group_levels(levels):
+    """Group consecutive same-mode levels for batched gathers.
+
+    'hash'/'tiled'/'cellhash' levels batch (per-level res/size/offset go
+    into small constant arrays; ONE table gather serves the whole
+    group, capped at _group_size() levels); 'dense' levels stay
+    singleton (each needs its own packed cell-corner view). Returns
+    [(mode, [(res, size, offset), ...])] in level order — concatenating
+    group features in order reproduces the per-level feature layout
+    exactly.
+    """
+    gmax = _group_size()
+    groups = []
+    for res, size, offset, mode in levels:
+        if (mode != "dense" and groups and groups[-1][0] == mode
+                and len(groups[-1][1]) < gmax):
+            groups[-1][1].append((res, size, offset))
+        else:
+            groups.append((mode, [(res, size, offset)]))
+    return groups
+
+
+def _batched_vertex_group(table, uc, group, mode, compute_dtype,
+                          acc_dtype):
+    """Features for a batch of 'hash'/'tiled' levels with ONE gather.
+
+    The per-hash-level Python loop used to emit one gather+lerp fusion
+    per level per pass (measured: 36 identical 2.43s fusions = 27% of
+    the round-4 protocol step); batching the levels into a single
+    (..., L, 8) gather collapses them into one op (tcnn's single fused
+    encoding kernel is the reference analog: external/ngp.py:166-187).
+    """
+    corner_offsets = jnp.asarray(_CORNER_OFFSETS)
+    res_f = jnp.asarray([g[0] for g in group], uc.dtype)      # (L,)
+    res_i = jnp.asarray([g[0] for g in group], jnp.int32)
+    sizes = jnp.asarray([g[1] for g in group], jnp.uint32)
+    offsets = jnp.asarray([g[2] for g in group], jnp.int32)
+    scaled = uc[..., None, :] * res_f[:, None]                # (..., L, 3)
+    cell = jnp.floor(scaled)
+    frac = (scaled - cell).astype(acc_dtype)
+    cell = cell.astype(jnp.int32)
+    corners = cell[..., None, :] + corner_offsets             # (..., L, 8, 3)
+    corners = jnp.clip(corners, 0, res_i[:, None, None])
+    x = corners[..., 0].astype(jnp.uint32)
+    y = corners[..., 1].astype(jnp.uint32)
+    z = corners[..., 2].astype(jnp.uint32)
+    if mode == "tiled":
+        stride = (res_i[:, None] + 1).astype(jnp.uint32)
+        idx = (z * stride + y) * stride + x
+    else:  # hash
+        idx = (
+            x * jnp.uint32(_HASH_PRIMES[0])
+            ^ y * jnp.uint32(_HASH_PRIMES[1])
+            ^ z * jnp.uint32(_HASH_PRIMES[2])
+        )
+    idx = (idx % sizes[:, None]).astype(jnp.int32) \
+        + offsets[:, None]                                    # (..., L, 8)
+    w = jnp.prod(jnp.where(
+        corner_offsets.astype(bool), frac[..., None, :],
+        1.0 - frac[..., None, :],
+    ), axis=-1)                                               # (..., L, 8)
+    rows = jnp.take(table.astype(compute_dtype), idx, axis=0)
+    feat = jnp.sum(rows.astype(acc_dtype) * w[..., None], axis=-2)
+    return feat.reshape(*feat.shape[:-2], -1)                 # (..., L*F)
+
+
+def _batched_cellhash_group(table, uc, group, compute_dtype, acc_dtype):
+    """Features for a batch of 'cellhash' levels with ONE row gather.
+
+    The whole table is viewed as (T//8, 8F) packed rows (all segment
+    offsets/sizes are 128-aligned by grid_layout, so the reshape is a
+    pure view); each level's cell hashes into its own row range via
+    offset//8 + h.
+    """
+    F = table.shape[-1]
+    T = table.shape[0]
+    corner_offsets = jnp.asarray(_CORNER_OFFSETS)
+    res_f = jnp.asarray([g[0] for g in group], uc.dtype)
+    res_i = jnp.asarray([g[0] for g in group], jnp.int32)
+    rows_per_level = jnp.asarray(
+        [g[1] // 8 for g in group], jnp.uint32
+    )
+    row_offsets = jnp.asarray([g[2] // 8 for g in group], jnp.int32)
+    scaled = uc[..., None, :] * res_f[:, None]                # (..., L, 3)
+    cell = jnp.clip(jnp.floor(scaled), 0, res_i[:, None] - 1)
+    frac = (scaled - cell).astype(acc_dtype)
+    cell = cell.astype(jnp.uint32)
+    h = (
+        cell[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+        ^ cell[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+        ^ cell[..., 2] * jnp.uint32(_HASH_PRIMES[2])
+    ) % rows_per_level                                        # (..., L)
+    row_idx = h.astype(jnp.int32) + row_offsets
+    w = jnp.prod(jnp.where(
+        corner_offsets.astype(bool), frac[..., None, :],
+        1.0 - frac[..., None, :],
+    ), axis=-1)                                               # (..., L, 8)
+    packed = table.astype(compute_dtype).reshape(T // 8, 8 * F)
+    rows = jnp.take(packed, row_idx, axis=0)                  # (..., L, 8F)
+    rows = rows.reshape(*rows.shape[:-1], 8, F)
+    feat = jnp.sum(rows.astype(acc_dtype) * w[..., None], axis=-2)
+    return feat.reshape(*feat.shape[:-2], -1)                 # (..., L*F)
+
+
+def _encode_impl(table, u, levels, compute_dtype=None):
+    """Grouped-gather encode. `compute_dtype` (e.g. bfloat16) rounds the
+    gathered table VALUES only — indices/weights/accumulation stay f32,
+    and the custom-VJP backward keeps exact f32 table gradients (the
+    reference's tcnn encoding runs its table in fp16: external/ngp.py
+    pins only the OUTPUT to f32, ngp.py:166-170)."""
     features = []
     uc = jnp.clip(u, 0.0, 1.0)
     F = table.shape[-1]
-    for res, size, offset, mode in levels:
+    cdtype = table.dtype if compute_dtype is None else compute_dtype
+    # accumulation dtype: table dtype when no rounding was requested
+    # (exactness tests run in f64), f32 when gathering in a reduced type
+    acc = table.dtype if compute_dtype is None else jnp.float32
+    for mode, group in _group_levels(levels):
         if mode == "dense":
+            res, size, offset = group[0]
             # one 8F-float row gather per sample from the derived
             # cell-corner table (see _pack_dense_segment)
             packed = _pack_dense_segment(
                 jax.lax.slice_in_dim(table, offset,
                                      offset + (res + 1) ** 3), res
-            )
-            flat, w = _dense_cell_index_weights(uc, res, table.dtype)
+            ).astype(cdtype)
+            flat, w = _dense_cell_index_weights(uc, res, acc)
             rows = jnp.take(packed, flat, axis=0)  # (..., 8F)
             rows = rows.reshape(*rows.shape[:-1], 8, F)
-            features.append(jnp.sum(rows * w[..., None], axis=-2))
+            features.append(jnp.sum(
+                rows.astype(acc) * w[..., None], axis=-2
+            ))
         elif mode == "cellhash":
-            packed = jax.lax.slice_in_dim(
-                table, offset, offset + size
-            ).reshape(size // 8, 8 * F)
-            h, w = _cellhash_index_weights(uc, res, size, table.dtype)
-            rows = jnp.take(packed, h, axis=0)  # (..., 8F)
-            rows = rows.reshape(*rows.shape[:-1], 8, F)
-            features.append(jnp.sum(rows * w[..., None], axis=-2))
-        else:
-            idx, w = _level_indices_weights(
-                uc, res, size, offset, mode, table.dtype
+            features.append(
+                _batched_cellhash_group(table, uc, group, cdtype, acc)
             )
-            gathered = jnp.take(table, idx, axis=0)  # (..., 8, F)
-            features.append(jnp.sum(gathered * w[..., None], axis=-2))
+        else:
+            features.append(
+                _batched_vertex_group(table, uc, group, mode, cdtype,
+                                      acc)
+            )
     return jnp.concatenate(features, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _encode_frozen_pos(levels, table, u):
-    return _encode_impl(table, u, levels)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _encode_frozen_pos(levels, table, u, compute_dtype):
+    return _encode_impl(table, u, levels, compute_dtype)
 
 
-def _encode_frozen_pos_fwd(levels, table, u):
-    return _encode_impl(table, u, levels), u
+def _encode_frozen_pos_fwd(levels, table, u, compute_dtype):
+    # the zero-size array only carries the PRIMAL table dtype: with a
+    # reduced compute_dtype the cotangent g arrives in the f32
+    # accumulation dtype, but custom_vjp must return the table gradient
+    # in the primal dtype
+    residual = (u, jnp.zeros((0,), table.dtype))
+    return _encode_impl(table, u, levels, compute_dtype), residual
 
 
-def _encode_frozen_pos_bwd(levels, res_data, g):
+def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
     """Table gradient via per-channel single-column scatter-adds.
 
     The autodiff-generated backward scatter-adds (..., 8, F) row updates
@@ -263,7 +393,7 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
     path: sample positions are stop-gradiented and rays derive from
     constants — models/renderer.py).
     """
-    u = res_data
+    u, table_proto = res_data
     last_res, last_size, last_offset, _ = levels[-1]
     T = last_offset + last_size  # total table rows (grid_layout contract)
     F = g.shape[-1] // len(levels)
@@ -327,11 +457,28 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
             )
             lo, hi = bounds[:-1], bounds[1:]
             segs = []
+            B = compensated.DEFAULT_BLOCK
+            hi_i = jnp.maximum(hi - 1, 0)
+            lo_i = jnp.maximum(lo - 1, 0)
+            has_lo = lo > 0
             for f in range(F):
-                c = jnp.cumsum(sorted_all[1 + f])
-                hi_v = c[jnp.maximum(hi - 1, 0)]
-                lo_v = jnp.where(lo > 0, c[jnp.maximum(lo - 1, 0)], 0.0)
-                segs.append(jnp.where(hi > lo, hi_v - lo_v, 0.0))
+                # segment sum = csum[hi-1] - csum[lo-1] — but a plain
+                # global f32 cumsum loses eps * |running prefix| per
+                # row (ADVICE r4: silent gradient-precision regression
+                # at 16M+ contributions). Blocked compensated cumsum:
+                # within-block differences are exact at block scale and
+                # the block bases carry a double-f32 (hi, lo) pair.
+                within, bhi, blo = compensated.blocked_cumsum(
+                    sorted_all[1 + f], B
+                )
+                w_hi = within[hi_i]
+                w_lo = jnp.where(has_lo, within[lo_i], 0.0)
+                bh = bhi[hi_i // B] - jnp.where(
+                    has_lo, bhi[lo_i // B], 0.0)
+                bl = blo[hi_i // B] - jnp.where(
+                    has_lo, blo[lo_i // B], 0.0)
+                d, e = compensated.two_sum(bh, w_hi - w_lo)
+                segs.append(jnp.where(hi > lo, d + (e + bl), 0.0))
             dense_grads.append((offset, jnp.stack(segs, axis=-1)))
             continue
         for f in range(F):
@@ -345,13 +492,14 @@ def _encode_frozen_pos_bwd(levels, res_data, g):
                                          seg.shape[0]) + seg,
             offset, axis=0,
         )
-    return grad_table, jnp.zeros_like(u)
+    return grad_table.astype(table_proto.dtype), jnp.zeros_like(u)
 
 
 _encode_frozen_pos.defvjp(_encode_frozen_pos_fwd, _encode_frozen_pos_bwd)
 
 
-def encode(table, u, levels, differentiable_positions=True):
+def encode(table, u, levels, differentiable_positions=True,
+           compute_dtype=None):
     """Multi-resolution grid encode.
 
     Args:
@@ -366,9 +514,15 @@ def encode(table, u, levels, differentiable_positions=True):
             positions (they are stop-gradiented at the sampler), so the
             field uses False; keep True wherever position gradients could
             matter (e.g. future pose refinement).
+        compute_dtype: optional dtype (e.g. jnp.bfloat16) the gathered
+            table values are rounded to — halves the gather's HBM
+            traffic, tcnn-fp16-style. Indices, trilinear weights, the
+            feature accumulation, and the table GRADIENT all stay f32
+            (the rounding is internal to the custom VJP, so grads keep
+            full precision).
     Returns:
-        (..., n_levels * F) features, dtype of `table`.
+        (..., n_levels * F) float32 features.
     """
     if differentiable_positions:
-        return _encode_impl(table, u, levels)
-    return _encode_frozen_pos(tuple(levels), table, u)
+        return _encode_impl(table, u, levels, compute_dtype)
+    return _encode_frozen_pos(tuple(levels), table, u, compute_dtype)

@@ -96,6 +96,9 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
             cellhash_min_load=float(
                 arch.pos_encoding.get("cellhash_min_load") or 8.0
             ),
+            grid_compute_dtype=str(
+                arch.pos_encoding.get("compute_dtype") or "float32"
+            ),
             sh_degree=arch.dir_encoding.degree,
             base_hidden_activation=arch.mlp_base.hidden_activation,
             density_activation=arch.mlp_base.density_activation,

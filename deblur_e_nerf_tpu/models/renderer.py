@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import compensated
 from . import contraction as contraction_lib
 from . import occupancy
 
@@ -418,21 +419,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
     )
 
 
-def _two_sum(a, b):
-    """Error-free transform: a + b = s + err exactly (Knuth TwoSum)."""
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
-    return s, err
-
-
-def _fast_two_sum(a, b):
-    """Error-free a + b = s + err, requiring |a| >= |b| (Dekker)."""
-    s = a + b
-    return s, b - (s - a)
-
-
-_PRECISE_BLOCK = 1 << 15
+_PRECISE_BLOCK = compensated.DEFAULT_BLOCK
 
 
 def excl_segment_cumsum_precise(sdt, offsets, ray_idx, n_rays):
@@ -464,24 +451,7 @@ def excl_segment_cumsum_precise(sdt, offsets, ray_idx, n_rays):
     """
     K1 = sdt.shape[0]
     B = _PRECISE_BLOCK
-    n_pad = -(-K1 // B) * B
-    blocks = jnp.concatenate(
-        [sdt, jnp.zeros((n_pad - K1,), sdt.dtype)]
-    ).reshape(-1, B)
-    within = jnp.cumsum(blocks, axis=1)              # f32, block-scale
-    totals = within[:, -1]                           # (nb,)
-
-    def body(carry, t):
-        hi, lo = carry
-        s, e = _two_sum(hi, t)
-        lo2 = lo + e
-        hi2, lo3 = _fast_two_sum(s, lo2)
-        return (hi2, lo3), (hi, lo)                  # exclusive outputs
-
-    zero = jnp.zeros((), sdt.dtype)
-    _, (base_hi, base_lo) = jax.lax.scan(body, (zero, zero), totals)
-
-    flat_w = within.reshape(-1)[:K1]
+    flat_w, base_hi, base_lo = compensated.blocked_cumsum(sdt, B)
     blk = jnp.arange(K1, dtype=jnp.int32) // B
     safe_ray = jnp.clip(ray_idx, 0, n_rays - 1)
 
@@ -495,7 +465,7 @@ def excl_segment_cumsum_precise(sdt, offsets, ray_idx, n_rays):
     d_hi = base_hi[blk] - seg_hi[safe_ray]
     d_lo = base_lo[blk] - seg_lo[safe_ray]
     local = (flat_w - sdt) - seg_w[safe_ray]
-    s1, e1 = _two_sum(d_hi, local)
+    s1, e1 = compensated.two_sum(d_hi, local)
     return s1 + (e1 + d_lo)
 
 
@@ -741,9 +711,20 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
         dir_p = jnp.concatenate(
             [directions, jnp.ones((n_pad - n, 3), directions.dtype)]
         ).reshape(-1, F, 3)
+        # remat per chunk, but SAVE the named hash-encode output
+        # (fields.py tags it "hash_encode_out"): the table gather is by
+        # far the most expensive op in the step, and the plain
+        # jax.checkpoint re-ran it in every backward chunk — ~2x the
+        # dominant cost for activation memory the encode features don't
+        # need (chunk x 32 x f32 = 256 MB per 2M-sample chunk)
+        ckpt_field = jax.checkpoint(
+            field_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hash_encode_out"
+            ),
+        )
         rgb, density = jax.lax.map(
-            lambda pd: jax.checkpoint(field_fn)(pd[0], pd[1]),
-            (pos_p, dir_p),
+            lambda pd: ckpt_field(pd[0], pd[1]), (pos_p, dir_p)
         )
         rgb = rgb.reshape(n_pad, -1)[:n]
         density = density.reshape(n_pad, -1)[:n]

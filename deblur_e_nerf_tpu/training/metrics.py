@@ -156,11 +156,14 @@ def _build_lpips_alex(weights_path):
             taps0, taps1 = self.net(in0), self.net(in1)
             total = 0.0
             for i, (f0, f1) in enumerate(zip(taps0, taps1)):
-                n0 = f0 / torch.sqrt(
-                    (f0 ** 2).sum(dim=1, keepdim=True) + 1e-10
+                # eps AFTER the sqrt: the lpips package's
+                # normalize_tensor adds eps to the norm, not the sum —
+                # they diverge for near-zero feature maps (ADVICE r4)
+                n0 = f0 / (torch.sqrt(
+                    (f0 ** 2).sum(dim=1, keepdim=True)) + 1e-10
                 )
-                n1 = f1 / torch.sqrt(
-                    (f1 ** 2).sum(dim=1, keepdim=True) + 1e-10
+                n1 = f1 / (torch.sqrt(
+                    (f1 ** 2).sum(dim=1, keepdim=True)) + 1e-10
                 )
                 d = (n0 - n1) ** 2
                 total = total + getattr(self, f"lin{i}")(d).mean(
@@ -192,8 +195,9 @@ def _lpips_forward(self, in0, in1):
     taps0, taps1 = self.net(in0), self.net(in1)
     total = 0.0
     for i, (f0, f1) in enumerate(zip(taps0, taps1)):
-        n0 = f0 / torch.sqrt((f0 ** 2).sum(dim=1, keepdim=True) + 1e-10)
-        n1 = f1 / torch.sqrt((f1 ** 2).sum(dim=1, keepdim=True) + 1e-10)
+        # eps AFTER the sqrt (lpips normalize_tensor parity; ADVICE r4)
+        n0 = f0 / (torch.sqrt((f0 ** 2).sum(dim=1, keepdim=True)) + 1e-10)
+        n1 = f1 / (torch.sqrt((f1 ** 2).sum(dim=1, keepdim=True)) + 1e-10)
         d = (n0 - n1) ** 2
         total = total + getattr(self, f"lin{i}")(d).mean(
             dim=(2, 3), keepdim=True

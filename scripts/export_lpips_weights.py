@@ -44,6 +44,12 @@ def main():
 
     nets = ("alex", "vgg", "squeeze") if args.net == "all" \
         else (args.net,)
+    if len(nets) > 1 and (args.out or args.golden):
+        parser.error(
+            "--net all with an explicit --out/--golden would write every"
+            " backbone to the same path (only the last would survive);"
+            " drop the explicit paths or export one net at a time"
+        )
     for net in nets:
         out = args.out or f"lpips_{net}.pt"
         golden = args.golden or \

@@ -42,6 +42,7 @@ def summarize_trace(trace_dir, top=40):
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
     totals = {}
+    meta = {}
     wall = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -57,11 +58,21 @@ def summarize_trace(trace_dir, top=40):
             dur = float(e.get("dur", 0.0))
             totals[name] = totals.get(name, 0.0) + dur
             wall += dur
+            args = e.get("args")
+            if args and name not in meta:
+                # op provenance: XLA records the HLO long name / source
+                # op under assorted arg keys depending on version
+                desc = (args.get("long_name") or args.get("tf_op")
+                        or args.get("source") or args.get("hlo_op")
+                        or "")
+                if desc:
+                    meta[name] = str(desc)[:160]
     items = sorted(totals.items(), key=lambda kv: -kv[1])
     print(f"total device op time: {wall/1e6:.2f}s over "
           f"{len(items)} distinct ops (trace {os.path.basename(path)})")
     for name, dur in items[:top]:
-        print(f"{dur/1e6:8.3f}s  {100*dur/max(wall,1e-9):5.1f}%  {name}")
+        print(f"{dur/1e6:8.3f}s  {100*dur/max(wall,1e-9):5.1f}%  {name}"
+              + (f"  | {meta[name]}" if name in meta else ""))
 
 
 def main():

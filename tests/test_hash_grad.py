@@ -190,3 +190,42 @@ def test_sort_backward_matches_scatter(setup, monkeypatch):
         np.asarray(g_sort), np.asarray(g_scatter), rtol=1e-3, atol=1e-5
     )
     assert float(jnp.sum(jnp.abs(g_sort))) > 0
+
+
+@pytest.mark.slow
+def test_sort_backward_precision_at_scale():
+    """ADVICE r4 (medium): the sort backward's boundary-diff used a
+    global f32 cumsum whose per-row error scales with eps * |running
+    prefix| — late-offset rows with few contributions got large relative
+    gradient error at production N. The blocked compensated cumsum
+    (ops/compensated.py) must keep the error near direct-summation f32
+    levels at scale. Oracle: the same segment sums in float64."""
+    levels, total = hash_encoding.grid_layout("HashGrid", 2, 64, 1.3, 14)
+    n = 1 << 20  # ~8.4M contributions (n * 8 corners * 2 levels)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (total, 2), jnp.float32) * 0.1
+    u = jax.random.uniform(jax.random.PRNGKey(1), (n, 3),
+                           dtype=jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (n, len(levels) * 2),
+                            jnp.float32)
+
+    def loss(t):
+        out = hash_encoding.encode(t, u, levels,
+                                   differentiable_positions=False)
+        return jnp.sum(out * cot)
+
+    g_sort = np.asarray(jax.grad(loss)(table))
+
+    # float64 oracle via the autodiff (scatter-add) path
+    g_ref = np.asarray(jax.grad(
+        lambda t: jnp.sum(hash_encoding.encode(
+            t, u.astype(jnp.float64), levels,
+            differentiable_positions=True) * cot.astype(jnp.float64))
+    )(table.astype(jnp.float64)))
+
+    denom = np.maximum(np.abs(g_ref), 1e-3)
+    rel = np.abs(g_sort - g_ref) / denom
+    # pre-fix behavior: global-cumsum cancellation pushed worst-row
+    # relative error to ~1e-2 at this scale; compensated blocks keep it
+    # at f32 summation-order levels
+    assert float(rel.max()) < 2e-3, float(rel.max())
