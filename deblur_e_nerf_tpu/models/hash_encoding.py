@@ -425,9 +425,43 @@ def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
             contrib = (
                 w[..., None] * g_level[..., None, :]
             ).reshape(-1, 8 * F)
-            packed_grad = jnp.zeros(
-                (size // 8, 8 * F), table_dtype
-            ).at[h.reshape(-1)].add(contrib)
+            hflat = h.reshape(-1)
+            if os.environ.get("DENERF_HASH_BWD", "sort") == "sort":
+                # sort+rowwise-cumsum+boundary-diff, the cellhash analog
+                # of the vertex-hash sort backward below: ONE key sort
+                # with a permutation payload, ONE coherent (N, 8F) row
+                # gather, ONE axis-0 blocked-compensated cumsum
+                # vectorized over the 8F channels — no colliding
+                # multi-channel scatter (the direct (rows, 16) f32
+                # scatter-add measured ~413 ns/row on this backend).
+                n_rows = size // 8
+                perm = jnp.arange(hflat.shape[0], dtype=jnp.int32)
+                sidx, order = jax.lax.sort((hflat, perm), num_keys=1)
+                rows = jnp.take(contrib, order, axis=0)  # (N, 8F)
+                within, bhi, blo = compensated.blocked_cumsum(rows)
+                bounds = jnp.searchsorted(
+                    sidx, jnp.arange(n_rows + 1, dtype=sidx.dtype),
+                    method="scan_unrolled",
+                )
+                lo_b, hi_b = bounds[:-1], bounds[1:]
+                B = compensated.DEFAULT_BLOCK
+                hi_i = jnp.maximum(hi_b - 1, 0)
+                lo_i = jnp.maximum(lo_b - 1, 0)
+                has_lo = (lo_b > 0)[:, None]
+                w_hi = within[hi_i]
+                w_lo = jnp.where(has_lo, within[lo_i], 0.0)
+                bh = bhi[hi_i // B] - jnp.where(
+                    has_lo, bhi[lo_i // B], 0.0)
+                bl = blo[hi_i // B] - jnp.where(
+                    has_lo, blo[lo_i // B], 0.0)
+                d, e = compensated.two_sum(bh, w_hi - w_lo)
+                packed_grad = jnp.where(
+                    (hi_b > lo_b)[:, None], d + (e + bl), 0.0
+                )  # (n_rows, 8F)
+            else:
+                packed_grad = jnp.zeros(
+                    (size // 8, 8 * F), table_dtype
+                ).at[hflat].add(contrib)
             dense_grads.append((offset, packed_grad.reshape(size, F)))
             continue
         idx, w = _level_indices_weights(

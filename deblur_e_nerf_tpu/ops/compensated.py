@@ -36,23 +36,25 @@ def blocked_cumsum(x, block=DEFAULT_BLOCK):
     """Blocked inclusive cumsum with compensated block bases.
 
     Args:
-        x: (N,) float32 values.
+        x: (N,) or (N, C) float32 values (cumsum along axis 0; channels
+           vectorize).
         block: static block length B.
     Returns:
         (within, base_hi, base_lo):
-          within  (N,) f32 — INCLUSIVE cumsum within each B-block,
-          base_hi (nb,) f32 — exclusive block base, hi component,
-          base_lo (nb,) f32 — exclusive block base, lo component,
+          within  like x — INCLUSIVE cumsum within each B-block,
+          base_hi (nb[, C]) f32 — exclusive block base, hi component,
+          base_lo (nb[, C]) f32 — exclusive block base, lo component,
         so cumsum(x)[i] ~= within[i] + base_hi[i // B] + base_lo[i // B]
         with the base carried to ~double-f32 accuracy.
     """
     n = x.shape[0]
+    tail = x.shape[1:]
     n_pad = -(-n // block) * block
     blocks = jnp.concatenate(
-        [x, jnp.zeros((n_pad - n,), x.dtype)]
-    ).reshape(-1, block)
+        [x, jnp.zeros((n_pad - n,) + tail, x.dtype)]
+    ).reshape((-1, block) + tail)
     within = jnp.cumsum(blocks, axis=1)
-    totals = within[:, -1]
+    totals = within[:, -1]  # (nb[, C])
 
     def body(carry, t):
         hi, lo = carry
@@ -61,6 +63,6 @@ def blocked_cumsum(x, block=DEFAULT_BLOCK):
         hi2, lo3 = fast_two_sum(s, lo2)
         return (hi2, lo3), (hi, lo)  # exclusive outputs
 
-    zero = jnp.zeros((), x.dtype)
+    zero = jnp.zeros(tail, x.dtype)
     _, (base_hi, base_lo) = jax.lax.scan(body, (zero, zero), totals)
-    return within.reshape(-1)[:n], base_hi, base_lo
+    return within.reshape((-1,) + tail)[:n], base_hi, base_lo

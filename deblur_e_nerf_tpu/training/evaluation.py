@@ -27,13 +27,23 @@ PREDICTION_BIT_DEPTH = 8
 
 
 def make_render_image_fn(model, eval_sample_budget=None,
-                         field_chunk=1 << 20):
+                         field_chunk=1 << 20, eval_prepass_div=None):
     """Build a jitted chunked full-image renderer.
 
     Returns render_image(params, occ_state, intrinsics_inv,
     pixel_pos (H, W, 2), T_wc_position (3,), T_wc_orientation (3, 3))
     -> intensity image ([C,] H, W) float32 (min_modeled_intensity NOT
     added — the caller owns that, reference: deblur_e_nerf.py:1201-1203).
+
+    `eval_prepass_div` (config key model.nerf.eval_occlusion_prepass_div;
+    default off) enables the occlusion prepass for eval renders: the
+    march keeps the worst-case chunk x S_max budget (never truncates),
+    while the field eval pays only live samples — exact semantics
+    (dead-suffix culling at early_stop_eps, same as nerfacc's in-loop
+    early termination) at a fraction of the cost on converged scenes.
+    If live demand ever exceeds budget/div the affected rays are
+    reported via the truncation warning below rather than silently
+    rendered with missing mass.
     """
     chunk = model.test_chunk_size
     rc = dataclasses.replace(
@@ -45,6 +55,9 @@ def make_render_image_fn(model, eval_sample_budget=None,
                        or chunk * model.render_config.max_samples_per_ray),
         block_budget=None,
         field_chunk=field_chunk,
+        prepass_div=(model.render_config.prepass_div
+                     if eval_prepass_div is None
+                     else int(eval_prepass_div)),
     )
     eval_model = model._replace(render_config=rc)
 
@@ -76,12 +89,22 @@ def make_render_image_fn(model, eval_sample_budget=None,
             )
         mask = jnp.arange(n_pad) < n
         outs = []
+        n_truncated = 0
         for i in range(0, n_pad, chunk):
             out = render_chunk(
                 params, occ_state, rays_o[i:i + chunk],
                 rays_d[i:i + chunk], mask[i:i + chunk],
             )
             outs.append(out["radiance"])
+            if rc.prepass_div:
+                n_truncated += int(jnp.sum(
+                    ~out["ray_complete"] & mask[i:i + chunk]
+                ))
+        if n_truncated:
+            print(f"WARNING: eval prepass truncated {n_truncated} rays "
+                  f"(live demand exceeded sample_budget/"
+                  f"{rc.prepass_div}); raise the budget or lower "
+                  "eval_occlusion_prepass_div", flush=True)
         radiance = jnp.concatenate(outs)[:n]  # (H*W, C)
         img = radiance.reshape(H, W, -1)
         if img.shape[-1] == 1:

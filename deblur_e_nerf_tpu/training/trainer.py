@@ -608,7 +608,10 @@ class Trainer:
             )
             targets[target] = (evaluator, dataset)
         render_image = evaluation.make_render_image_fn(
-            self.bundle.model
+            self.bundle.model,
+            eval_prepass_div=self.config.model.nerf.get(
+                "eval_occlusion_prepass_div"
+            ),
         )
         return targets, render_image
 
