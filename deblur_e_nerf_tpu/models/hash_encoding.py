@@ -382,6 +382,40 @@ def _encode_frozen_pos_fwd(levels, table, u, compute_dtype):
     return _encode_impl(table, u, levels, compute_dtype), residual
 
 
+def _rowwise_sorted_segment_grad(keys, rows, n_rows):
+    """Exact per-key row sums with ZERO scatters: sort the keys once
+    (permutation payload), gather the contribution rows coherently in
+    sorted order, one axis-0 blocked-compensated cumsum over the
+    channels, then per-key boundary differences via searchsorted.
+
+    Args:
+        keys: (N,) int32 target row per contribution.
+        rows: (N, C) float32 contribution rows.
+        n_rows: static int — number of target rows.
+    Returns:
+        (n_rows, C) float32 summed rows.
+    """
+    perm = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sidx, order = jax.lax.sort((keys, perm), num_keys=1)
+    sorted_rows = jnp.take(rows, order, axis=0)
+    within, bhi, blo = compensated.blocked_cumsum(sorted_rows)
+    bounds = jnp.searchsorted(
+        sidx, jnp.arange(n_rows + 1, dtype=sidx.dtype),
+        method="scan_unrolled",
+    )
+    lo_b, hi_b = bounds[:-1], bounds[1:]
+    B = compensated.DEFAULT_BLOCK
+    hi_i = jnp.maximum(hi_b - 1, 0)
+    lo_i = jnp.maximum(lo_b - 1, 0)
+    has_lo = (lo_b > 0)[:, None]
+    w_hi = within[hi_i]
+    w_lo = jnp.where(has_lo, within[lo_i], 0.0)
+    bh = bhi[hi_i // B] - jnp.where(has_lo, bhi[lo_i // B], 0.0)
+    bl = blo[hi_i // B] - jnp.where(has_lo, blo[lo_i // B], 0.0)
+    d, e = compensated.two_sum(bh, w_hi - w_lo)
+    return jnp.where((hi_b > lo_b)[:, None], d + (e + bl), 0.0)
+
+
 def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
     """Table gradient via per-channel single-column scatter-adds.
 
@@ -406,16 +440,25 @@ def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
     for li, (res, size, offset, mode) in enumerate(levels):
         g_level = g[..., li * F:(li + 1) * F]  # (..., F)
         if mode == "dense":
-            # scatter 8F-float cell-corner rows (same per-element cost as
+            # 8F-float cell-corner row grads (same per-element cost as
             # F single-channel adds, ~6x fewer index ops), then fold the
-            # packed grads back onto shared vertices by shifted slice-adds
+            # packed grads back onto shared vertices by shifted
+            # slice-adds. Sort path by default: coarse dense cells get
+            # MANY colliding contributions per row (e.g. 2M samples
+            # over 16^3 cells), exactly where a direct row scatter-add
+            # serializes worst.
             flat, w = _dense_cell_index_weights(uc, res, table_dtype)
             contrib = (
                 w[..., None] * g_level[..., None, :]
             ).reshape(-1, 8 * F)
-            packed_grad = jnp.zeros(
-                (res ** 3, 8 * F), table_dtype
-            ).at[flat.reshape(-1)].add(contrib)
+            if os.environ.get("DENERF_HASH_BWD", "sort") == "sort":
+                packed_grad = _rowwise_sorted_segment_grad(
+                    flat.reshape(-1), contrib, res ** 3
+                )
+            else:
+                packed_grad = jnp.zeros(
+                    (res ** 3, 8 * F), table_dtype
+                ).at[flat.reshape(-1)].add(contrib)
             dense_grads.append((offset, _fold_dense_segment_grad(
                 packed_grad, res, F, table_dtype
             )))
@@ -428,36 +471,12 @@ def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
             hflat = h.reshape(-1)
             if os.environ.get("DENERF_HASH_BWD", "sort") == "sort":
                 # sort+rowwise-cumsum+boundary-diff, the cellhash analog
-                # of the vertex-hash sort backward below: ONE key sort
-                # with a permutation payload, ONE coherent (N, 8F) row
-                # gather, ONE axis-0 blocked-compensated cumsum
-                # vectorized over the 8F channels — no colliding
+                # of the vertex-hash sort backward below — no colliding
                 # multi-channel scatter (the direct (rows, 16) f32
-                # scatter-add measured ~413 ns/row on this backend).
-                n_rows = size // 8
-                perm = jnp.arange(hflat.shape[0], dtype=jnp.int32)
-                sidx, order = jax.lax.sort((hflat, perm), num_keys=1)
-                rows = jnp.take(contrib, order, axis=0)  # (N, 8F)
-                within, bhi, blo = compensated.blocked_cumsum(rows)
-                bounds = jnp.searchsorted(
-                    sidx, jnp.arange(n_rows + 1, dtype=sidx.dtype),
-                    method="scan_unrolled",
+                # scatter-add measured ~413 ns/row on this backend)
+                packed_grad = _rowwise_sorted_segment_grad(
+                    hflat, contrib, size // 8
                 )
-                lo_b, hi_b = bounds[:-1], bounds[1:]
-                B = compensated.DEFAULT_BLOCK
-                hi_i = jnp.maximum(hi_b - 1, 0)
-                lo_i = jnp.maximum(lo_b - 1, 0)
-                has_lo = (lo_b > 0)[:, None]
-                w_hi = within[hi_i]
-                w_lo = jnp.where(has_lo, within[lo_i], 0.0)
-                bh = bhi[hi_i // B] - jnp.where(
-                    has_lo, bhi[lo_i // B], 0.0)
-                bl = blo[hi_i // B] - jnp.where(
-                    has_lo, blo[lo_i // B], 0.0)
-                d, e = compensated.two_sum(bh, w_hi - w_lo)
-                packed_grad = jnp.where(
-                    (hi_b > lo_b)[:, None], d + (e + bl), 0.0
-                )  # (n_rows, 8F)
             else:
                 packed_grad = jnp.zeros(
                     (size // 8, 8 * F), table_dtype
