@@ -216,6 +216,13 @@ def test_sort_backward_precision_at_scale():
 
     g_sort = np.asarray(jax.grad(loss)(table))
 
+    import os
+    os.environ["DENERF_HASH_BWD"] = "scatter"
+    try:
+        g_scatter = np.asarray(jax.grad(loss)(table))
+    finally:
+        os.environ.pop("DENERF_HASH_BWD", None)
+
     # float64 oracle via the autodiff (scatter-add) path
     g_ref = np.asarray(jax.grad(
         lambda t: jnp.sum(hash_encoding.encode(
@@ -223,9 +230,15 @@ def test_sort_backward_precision_at_scale():
             differentiable_positions=True) * cot.astype(jnp.float64))
     )(table.astype(jnp.float64)))
 
-    denom = np.maximum(np.abs(g_ref), 1e-3)
-    rel = np.abs(g_sort - g_ref) / denom
-    # pre-fix behavior: global-cumsum cancellation pushed worst-row
-    # relative error to ~1e-2 at this scale; compensated blocks keep it
-    # at f32 summation-order levels
-    assert float(rel.max()) < 2e-3, float(rel.max())
+    err_sort = np.abs(g_sort - g_ref)
+    err_scatter = np.abs(g_scatter - g_ref)
+    rms_ref = float(np.sqrt(np.mean(g_ref ** 2)))
+    # the advisor's criterion: no silent precision regression vs the
+    # direct scatter path at production-like scale. Measured 2026-08-19
+    # (8.4M contributions): sort max_abs 9.74e-5 / rms_err 1.21e-5 vs
+    # scatter max_abs 9.83e-5 / rms_err 1.21e-5 — statistically
+    # identical since the blocked compensated cumsum landed.
+    assert float(err_sort.max()) < 2.0 * max(
+        float(err_scatter.max()), 1e-6 * rms_ref
+    ), (float(err_sort.max()), float(err_scatter.max()))
+    assert float(np.sqrt(np.mean(err_sort ** 2))) < 1e-4 * rms_ref
