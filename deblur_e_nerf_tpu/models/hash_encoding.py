@@ -451,7 +451,11 @@ def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
             contrib = (
                 w[..., None] * g_level[..., None, :]
             ).reshape(-1, 8 * F)
-            if os.environ.get("DENERF_HASH_BWD", "sort") == "sort":
+            dense_bwd = os.environ.get(
+                "DENERF_DENSE_BWD",
+                os.environ.get("DENERF_HASH_BWD", "sort"),
+            )
+            if dense_bwd == "sort":
                 packed_grad = _rowwise_sorted_segment_grad(
                     flat.reshape(-1), contrib, res ** 3
                 )
