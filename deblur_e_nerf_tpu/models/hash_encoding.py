@@ -217,11 +217,12 @@ def _group_size():
     index/row intermediates put (L, 8) on the minor axes, which the TPU
     tile-pads 16x — at the renderer's 2M-sample field chunks a full
     16-level batch is ~11 GB of fusion intermediates (measured OOM),
-    while singleton groups reproduce the round-4 per-level fusions.
-    Default 4 keeps the intermediate ~2.8 GB-peak-equivalent (fused in
-    practice) and cuts the fusion count 4x; tune via DENERF_ENCODE_GROUP.
+    and a G=4 quality-scale step stalled the remote TPU compile > 37
+    min where singleton groups (the round-4 program shape) compile in
+    minutes. Default 1 until a TPU A/B proves a larger group; tune via
+    DENERF_ENCODE_GROUP.
     """
-    return max(int(os.environ.get("DENERF_ENCODE_GROUP", "4")), 1)
+    return max(int(os.environ.get("DENERF_ENCODE_GROUP", "1")), 1)
 
 
 def _group_levels(levels):
