@@ -514,30 +514,29 @@ def _encode_frozen_pos_bwd(levels, compute_dtype, res_data, g):
                 method="scan_unrolled",
             )
             lo, hi = bounds[:-1], bounds[1:]
-            segs = []
             B = compensated.DEFAULT_BLOCK
             hi_i = jnp.maximum(hi - 1, 0)
             lo_i = jnp.maximum(lo - 1, 0)
-            has_lo = lo > 0
-            for f in range(F):
-                # segment sum = csum[hi-1] - csum[lo-1] — but a plain
-                # global f32 cumsum loses eps * |running prefix| per
-                # row (ADVICE r4: silent gradient-precision regression
-                # at 16M+ contributions). Blocked compensated cumsum:
-                # within-block differences are exact at block scale and
-                # the block bases carry a double-f32 (hi, lo) pair.
-                within, bhi, blo = compensated.blocked_cumsum(
-                    sorted_all[1 + f], B
-                )
-                w_hi = within[hi_i]
-                w_lo = jnp.where(has_lo, within[lo_i], 0.0)
-                bh = bhi[hi_i // B] - jnp.where(
-                    has_lo, bhi[lo_i // B], 0.0)
-                bl = blo[hi_i // B] - jnp.where(
-                    has_lo, blo[lo_i // B], 0.0)
-                d, e = compensated.two_sum(bh, w_hi - w_lo)
-                segs.append(jnp.where(hi > lo, d + (e + bl), 0.0))
-            dense_grads.append((offset, jnp.stack(segs, axis=-1)))
+            has_lo = (lo > 0)[:, None]
+            # segment sum = csum[hi-1] - csum[lo-1] — but a plain
+            # global f32 cumsum loses eps * |running prefix| per row
+            # (ADVICE r4: silent gradient-precision regression at 16M+
+            # contributions). Blocked compensated cumsum over BOTH
+            # channels at once (one scan, not one per channel):
+            # within-block differences are exact at block scale and
+            # the block bases carry a double-f32 (hi, lo) pair.
+            within, bhi, blo = compensated.blocked_cumsum(
+                jnp.stack(sorted_all[1:], axis=-1), B
+            )  # (N, F), (nb, F), (nb, F)
+            w_hi = within[hi_i]
+            w_lo = jnp.where(has_lo, within[lo_i], 0.0)
+            bh = bhi[hi_i // B] - jnp.where(
+                has_lo, bhi[lo_i // B], 0.0)
+            bl = blo[hi_i // B] - jnp.where(
+                has_lo, blo[lo_i // B], 0.0)
+            d, e = compensated.two_sum(bh, w_hi - w_lo)
+            segs = jnp.where((hi > lo)[:, None], d + (e + bl), 0.0)
+            dense_grads.append((offset, segs))
             continue
         for f in range(F):
             contrib = (w * g_level[..., f:f + 1]).reshape(-1)

@@ -56,13 +56,20 @@ def blocked_cumsum(x, block=DEFAULT_BLOCK):
     within = jnp.cumsum(blocks, axis=1)
     totals = within[:, -1]  # (nb[, C])
 
-    def body(carry, t):
-        hi, lo = carry
-        s, e = two_sum(hi, t)
-        lo2 = lo + e
-        hi2, lo3 = fast_two_sum(s, lo2)
-        return (hi2, lo3), (hi, lo)  # exclusive outputs
+    def combine(a, b):
+        # double-f32 addition (two-sum + renormalize): associative up
+        # to O(eps^2) terms — a log-depth TREE scan instead of a
+        # serial lax.scan, so no while loop enters the compiled program
+        # (the round-5 backward emits one of these per level; dozens of
+        # tiny whiles ballooned the remote TPU compile)
+        s, e = two_sum(a[0], b[0])
+        return fast_two_sum(s, a[1] + b[1] + e)
 
-    zero = jnp.zeros(tail, x.dtype)
-    _, (base_hi, base_lo) = jax.lax.scan(body, (zero, zero), totals)
+    zeros = jnp.zeros_like(totals)
+    inc_hi, inc_lo = jax.lax.associative_scan(
+        combine, (totals, zeros), axis=0
+    )
+    # exclusive bases: shift the inclusive pair down by one block
+    base_hi = jnp.concatenate([zeros[:1], inc_hi[:-1]], axis=0)
+    base_lo = jnp.concatenate([zeros[:1], inc_lo[:-1]], axis=0)
     return within.reshape((-1,) + tail)[:n], base_hi, base_lo
