@@ -24,12 +24,6 @@ print('TPU_OK', float(jnp.sum(jnp.ones(8))))
 }
 
 wait_tpu || exit 1
-echo "=== tpu_pb_repro ($(date +%H:%M)) ==="
-timeout 900 python scripts/tpu_pb_repro.py > "$RES/tpu_pb_repro.log" 2>&1
-echo "tpu_pb_repro rc=$? $(date +%H:%M)" >> "$RES/queue_status.txt"
-sleep 75
-
-wait_tpu || exit 1
 echo "=== bench regen ($(date +%H:%M)) ==="
 DENERF_BENCH_BUDGET_S=${R5_BENCH_REGEN_BUDGET_S:-5400} \
 DENERF_BENCH_PHASE_A_EST_S=2400 \
@@ -45,5 +39,10 @@ timeout 3000 python bench.py > "$RES/bench_final.log" 2>&1
 echo "bench_final rc=$? $(date +%H:%M)" >> "$RES/queue_status.txt"
 tail -3 "$RES/bench_final.log" | grep -a '"metric"' \
   > "$RES/bench_final_json.txt" || true
+
+wait_tpu || exit 1
+echo "=== tpu_pb_repro ($(date +%H:%M)) ==="
+timeout 900 python scripts/tpu_pb_repro.py > "$RES/tpu_pb_repro.log" 2>&1
+echo "tpu_pb_repro rc=$? $(date +%H:%M)" >> "$RES/queue_status.txt"
 
 echo "=== endgame done ($(date +%H:%M)) ==="
