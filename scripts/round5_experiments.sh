@@ -46,7 +46,7 @@ run () {
   fi
   timeout "$budget" python -u scripts/quality_run.py \
     --config "$cfg" --data-root /tmp/denerf_blur32_dense_ds \
-    --log-dir "$RES/$name" --batch-capacity 256 "${resume[@]}" "$@" \
+    --log-dir "$RES/$name" "${resume[@]}" "$@" \
     > "/tmp/r5_$name.log" 2>&1
   local rc=$?
   echo "=== $name done rc=$rc ($(date +%H:%M)) ==="
@@ -55,10 +55,15 @@ run () {
   sleep 75
 }
 
-run blur32_dense_r5 \
-  configs/train/quality_sphere_blur32_dense_r4.yaml "$BLUR_BUDGET"
+# r5fix pair: occ guards ON (thre_floor + max_occupied_fraction),
+# eff 8192 (4x supervision), margin 1.25, prepass div 2. Capacity 1024
+# sized for the expected unlatched batch (~8192/m = 300-800 events).
+run blur32_dense_r5fix \
+  configs/train/quality_sphere_blur32_dense_r5fix.yaml "$BLUR_BUDGET" \
+  --batch-capacity 1024
 
-run blur32_dense_r5_control \
-  configs/train/quality_sphere_blur32_dense_r4_control.yaml "$CTRL_BUDGET"
+run blur32_dense_r5fix_control \
+  configs/train/quality_sphere_blur32_dense_r5fix_control.yaml \
+  "$CTRL_BUDGET" --batch-capacity 1024
 
 echo "=== queue done ($(date +%H:%M)) ==="
