@@ -37,8 +37,17 @@ def eye_ml(n, batch_ndim, dtype=jnp.float32):
 
 
 def matmul_ml(a, b):
-    """(i, j, ...) @ (j, k, ...) -> (i, k, ...)."""
-    return jnp.einsum("ij...,jk...->ik...", a, b)
+    """(i, j, ...) @ (j, k, ...) -> (i, k, ...).
+
+    precision=HIGHEST: TPU default dot precision multiplies f32 operands
+    in bfloat16 passes; Pade-13's large coefficients (b0 ~ 6.5e16) make
+    the v - u cancellation in expm_ml sensitive enough that bf16-rounded
+    products can render the solve singular (the TPU-only non-finite at
+    toy calibrations, ROADMAP round-4). Full f32 is free here: the
+    contraction is 4-wide over batch-leading vectors (VPU FMAs).
+    """
+    return jnp.einsum("ij...,jk...->ik...", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def solve_ml(a, b):
