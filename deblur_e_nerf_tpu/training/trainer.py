@@ -122,6 +122,17 @@ class Trainer:
         )
         if self.accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate)
+        # Production robustness: a single degenerate ray (e.g. an extreme
+        # FOH dt pattern in f32) must not poison a multi-hour run. Skip
+        # the update device-side when any grad is non-finite (no host
+        # sync; the reference's dynamic-shape boolean indexing drops such
+        # rays implicitly, a static-shape TPU program cannot). Sustained
+        # non-finiteness still terminates via _consume_metrics.
+        self._skip_nonfinite = bool(
+            trainer_cfg.get("skip_nonfinite_updates", True)
+        )
+        if self._skip_nonfinite:
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=10000)
         self.tx = tx
 
         occ_state = nerf_model.init_occupancy(self.bundle.model)
@@ -235,6 +246,7 @@ class Trainer:
         self.best_checkpoint = None
         # one-step metrics pipeline (see _consume_metrics)
         self._pending_metrics = None
+        self._nonfinite_streak = 0
 
     # ------------------------------------------------------------------
     def _ckpt_scores_path(self):
@@ -306,13 +318,28 @@ class Trainer:
             self.batch_controller.update(m)
         loss = float(metrics["loss"])
         if not np.isfinite(loss):
-            terms = {
-                k: float(v) for k, v in metrics.items()
-                if np.ndim(v) == 0
-            }
-            raise FloatingPointError(
-                f"NaN/Inf loss at step {step}; metrics: {terms}"
-            )
+            self._nonfinite_streak += 1
+            if self._nonfinite_streak == 1 or step % 100 == 0:
+                print(f"WARNING: non-finite loss at step {step} "
+                      f"(streak {self._nonfinite_streak}); update "
+                      f"{'skipped' if self._skip_nonfinite else 'APPLIED'}",
+                      flush=True)
+            # terminate only on SUSTAINED non-finiteness: with
+            # skip_nonfinite_updates the parameters are untouched by bad
+            # steps, so isolated degenerate batches are recoverable
+            limit = 25 if self._skip_nonfinite else 1
+            if self._nonfinite_streak >= limit:
+                terms = {
+                    k: float(v) for k, v in metrics.items()
+                    if np.ndim(v) == 0
+                }
+                raise FloatingPointError(
+                    f"non-finite loss for {self._nonfinite_streak} "
+                    f"consecutive steps (at step {step}); "
+                    f"metrics: {terms}"
+                )
+        else:
+            self._nonfinite_streak = 0
         if step % 100 == 0 or step == 1:
             for name, value in metrics.items():
                 self.log_scalar(f"train/{name}", value, step)
