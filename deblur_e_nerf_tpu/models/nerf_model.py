@@ -151,6 +151,17 @@ def build(nerf_config, camera_positions, radiance_dim, render_bkgd,
         # gets early termination from nerfacc's CUDA marching loop,
         # external/utils.py:106-119): 0 disables the prepass
         prepass_div=int(nerf_config.get("occlusion_prepass_div", 0)),
+        # coarse-stage buffer capacities (framework extensions; nerfacc's
+        # CUDA march never truncates). Defaults: KB = sample_budget // 4,
+        # KSB = KB // 2 — size these UP (and/or set superblock_budget: 0)
+        # for blur workloads whose ray count (capacity x S x slices) is
+        # large relative to the sample budget; truncation is flagged via
+        # ray_complete either way
+        block_budget=(int(nerf_config.block_budget)
+                      if nerf_config.get("block_budget") else None),
+        superblock_budget=(int(nerf_config.superblock_budget)
+                           if nerf_config.get("superblock_budget")
+                           is not None else None),
     )
 
     if render_bkgd is None:

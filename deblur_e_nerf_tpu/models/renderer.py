@@ -61,6 +61,12 @@ class RenderConfig:
     sample_budget: int = 1 << 17            # K: flat sample buffer capacity
     block_budget: Optional[int] = None      # KB: coarse-block buffer
                                             # capacity (None = K // 4)
+    # KSB: superblock buffer capacity. None = KB // 2; 0 disables the
+    # superblock stage entirely (dense block pass) — the right choice
+    # when the ray count is large relative to the sample budget (blur
+    # training: R = capacity x S x slices) and the pooled mask filters
+    # little, so stage 0 would mostly truncate
+    superblock_budget: Optional[int] = None
     field_chunk: int = 0                    # samples per field eval (0 = all)
     # occlusion prepass (early-termination compaction): the post-cull
     # buffer holds sample_budget // prepass_div samples (0 = off); a
@@ -98,6 +104,14 @@ class RaySamples(NamedTuple):
     # None when the stage did not run)
     num_blocks: Optional[jnp.ndarray] = None       # () int32
     num_superblocks: Optional[jnp.ndarray] = None  # () int32
+    # (R,) bool: False when the ray lost block/superblock entries to a
+    # coarse-stage buffer overflow — such rays' sample counts UNDERCOUNT
+    # true demand, so the `offsets + counts <= K` completeness test alone
+    # would falsely mark them complete and the loss would train on
+    # silently-truncated renders (the round-1 collapse mechanism, one
+    # stage earlier). None when the march did not run (prepass output
+    # copies it through).
+    coarse_complete: Optional[jnp.ndarray] = None
 
 
 def _ray_t_bounds(rays_o, rays_d, rc):
@@ -179,13 +193,19 @@ def _maxpool_binary(binary, resolution, pool):
     return jnp.any(g, axis=(1, 3, 5)).reshape(-1)
 
 
-def _compact(flags, payload, budget, fill):
+def _compact(flags, payload, budget, fill, return_cutoff=False):
     """Stream-compact `payload[flags]` into a (budget + 1,) buffer.
 
     Single-channel scatter with provably-unique in-bounds indices
     (cumsum positions); invalid/overflow lanes write out of bounds and
     drop. Slot `budget` is a never-written trash slot holding `fill`.
     Returns (buffer, total_flag_count).
+
+    With return_cutoff, additionally returns the minimum DROPPED payload
+    code (== `fill` when nothing dropped). Because csum is nondecreasing
+    along lanes and the callers' lanes are code-ascending (ray-major),
+    drops are exactly a suffix in code order — so every code below the
+    cutoff is fully in the buffer. One min-reduce; no extra scatters.
     """
     flags_i = flags.astype(jnp.int32)
     csum = jnp.cumsum(flags_i)
@@ -195,6 +215,11 @@ def _compact(flags, payload, budget, fill):
     buf = jnp.full((budget + 1,), fill, payload.dtype).at[write_idx].set(
         payload, mode="drop", unique_indices=True
     )
+    if return_cutoff:
+        dropped_min = jnp.min(
+            jnp.where(flags & (csum > budget), payload, fill)
+        )
+        return buf, csum[-1], dropped_min
     return buf, csum[-1]
 
 
@@ -264,6 +289,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         and n_blocks % SB_BLOCKS == 0
         and n_blocks >= 2 * SB_BLOCKS
         and sb_reach <= 2 * POOL * min_cell_extent
+        and rc.superblock_budget != 0
     )
     if use_superblocks:
         # ---- stage 0: superblock pass on a pooled+dilated mask ---------
@@ -279,7 +305,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         pooled = _dilate_binary(pooled, pooled_res)
         pooled = _dilate_binary(pooled, pooled_res)
         n_sb = n_blocks // SB_BLOCKS
-        KSB = max(KB // 2, 1)
+        KSB = rc.superblock_budget or max(KB // 2, 1)
         sb = jnp.arange(n_sb, dtype=jnp.float32)
         sb_steps = SB_BLOCKS * BLOCK_STEPS
         t_sb_mid = _timeline_at(sb * sb_steps + sb_steps / 2,
@@ -302,10 +328,12 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
             jnp.arange(R, dtype=jnp.int32)[:, None] * n_sb
             + jnp.arange(n_sb, dtype=jnp.int32)[None, :]
         )
-        sb_buf, num_superblocks = _compact(
+        sb_buf, num_superblocks, sb_cut = _compact(
             sb_valid.reshape(-1), sb_code.reshape(-1), KSB,
-            fill=jnp.int32(R * n_sb),
+            fill=jnp.int32(R * n_sb), return_cutoff=True,
         )  # (KSB + 1,)
+        # first ray with any dropped superblock (== R when none dropped)
+        first_bad_ray = sb_cut // n_sb
         sb_ray = jnp.minimum(sb_buf // n_sb, R - 1)
         sb_active = sb_buf < R * n_sb
         # expand each surviving superblock to its blocks (ray-major,
@@ -324,6 +352,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         d_c = rays_d[sb_ray][:, None, :]
     else:
         num_superblocks = None
+        first_bad_ray = jnp.int32(R)
         cand_ray = jnp.broadcast_to(
             jnp.arange(R, dtype=jnp.int32)[:, None], (R, n_blocks)
         )
@@ -357,10 +386,11 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
     )
     # packed (ray, block) code; ray-major order is preserved by compaction
     blk_code = cand_ray * n_blocks + cand_blk
-    blk_buf, num_blocks = _compact(
+    blk_buf, num_blocks, blk_cut = _compact(
         blk_valid.reshape(-1), blk_code.reshape(-1), KB,
-        fill=jnp.int32(R * n_blocks),
+        fill=jnp.int32(R * n_blocks), return_cutoff=True,
     )  # (KB + 1,)
+    first_bad_ray = jnp.minimum(first_bad_ray, blk_cut // n_blocks)
 
     # ---- stage 2: exact sample pass on surviving blocks ----------------
     blk_ray = jnp.minimum(blk_buf // n_blocks, R - 1)  # (KB+1,)
@@ -416,6 +446,7 @@ def march_rays(binary, rays_o, rays_d, ray_mask, key, rc):
         num_samples=num_samples,
         num_blocks=num_blocks,
         num_superblocks=num_superblocks,
+        coarse_complete=jnp.arange(R, dtype=jnp.int32) < first_bad_ray,
     )
 
 
@@ -574,6 +605,7 @@ def occlusion_prepass(density_only_fn, samples, rays_o, rays_d, n_rays,
         num_samples=samples.num_samples,
         num_blocks=samples.num_blocks,
         num_superblocks=samples.num_superblocks,
+        coarse_complete=samples.coarse_complete,
     )
     return compacted, csum[-1], live_counts
 
@@ -687,6 +719,11 @@ def render_rays(field_fn, binary, rays_o, rays_d, ray_mask, key, rc,
     ray_complete = (
         samples.offsets + samples.counts <= rc.sample_budget
     )
+    if samples.coarse_complete is not None:
+        # counts UNDERCOUNT demand for rays whose blocks were dropped at
+        # the coarse stages, so the budget-fit test alone is blind to
+        # block/superblock truncation
+        ray_complete &= samples.coarse_complete
 
     prepass_demand = None
     if (rc.prepass_div and density_only_fn is not None

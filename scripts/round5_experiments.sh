@@ -55,14 +55,16 @@ run () {
   sleep 75
 }
 
-# r5fix pair: occ guards ON (thre_floor + max_occupied_fraction),
-# eff 8192 (4x supervision), margin 1.25, prepass div 2. Capacity 1024
+# r5fix pair (v2): occ guards ON (thre_floor + max_occupied_fraction),
+# eff 8192 (4x supervision), margin 1.25, prepass div 2, coarse march
+# buffers sized to the ray count (the v1 blur leg silently truncated
+# 94% of superblock demand and NaN'd pre-precision-fix). Capacity 1024
 # sized for the expected unlatched batch (~8192/m = 300-800 events).
-run blur32_dense_r5fix \
+run blur32_dense_r5fix_v2 \
   configs/train/quality_sphere_blur32_dense_r5fix.yaml "$BLUR_BUDGET" \
   --batch-capacity 1024
 
-run blur32_dense_r5fix_control \
+run blur32_dense_r5fix_control_v2 \
   configs/train/quality_sphere_blur32_dense_r5fix_control.yaml \
   "$CTRL_BUDGET" --batch-capacity 1024
 

@@ -449,6 +449,69 @@ def test_march_truncation_flags_incomplete_rays():
     )
 
 
+def test_coarse_truncation_flags_incomplete_rays():
+    """Block/superblock buffer overflow drops whole ray SEGMENTS before
+    the sample stage, where per-ray counts undercount true demand — the
+    04:02 r5fix failure: superblock demand 16x capacity with
+    ray_complete reading all-true. Coarse drops must flag ray_complete
+    exactly like sample-stage drops, and the flagged-complete prefix
+    must render identically to an un-truncated reference."""
+    rng = np.random.default_rng(14)
+    o, d = random_rays(rng, 16)
+    mask = jnp.ones(16, bool)
+    key = jax.random.PRNGKey(0)
+    full = renderer.render_rays(
+        gaussian_field, all_occupied(), o, d, mask, key,
+        make_rc(sample_budget=4096),
+    )
+    assert np.asarray(full["ray_complete"]).all()
+    for name, rc in [
+        # block buffer too small (superblock stage on)
+        ("block", make_rc(sample_budget=4096, block_budget=64)),
+        # superblock buffer too small
+        ("superblock", make_rc(sample_budget=4096, block_budget=1024,
+                               superblock_budget=16)),
+        # dense block pass (stage 0 disabled), block buffer too small
+        ("dense-block", make_rc(sample_budget=4096, block_budget=64,
+                                superblock_budget=0)),
+    ]:
+        out = renderer.render_rays(
+            gaussian_field, all_occupied(), o, d, mask, key, rc
+        )
+        complete = np.asarray(out["ray_complete"])
+        assert complete[0], name
+        assert not complete.all(), name
+        np.testing.assert_allclose(
+            np.asarray(out["radiance"])[complete],
+            np.asarray(full["radiance"])[complete],
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+
+
+def test_superblock_disable_parity():
+    """superblock_budget=0 (dense block pass) must march the identical
+    sample set as the superblock path at ample budgets."""
+    rng = np.random.default_rng(15)
+    o, d = random_rays(rng, 8)
+    mask = jnp.ones(8, bool)
+    key = jax.random.PRNGKey(3)
+    binary = all_occupied()
+    rc_sb = make_rc(sample_budget=4096)
+    rc_dense = make_rc(sample_budget=4096, superblock_budget=0)
+    a = renderer.march_rays(binary, o, d, mask, key, rc_sb)
+    b = renderer.march_rays(binary, o, d, mask, key, rc_dense)
+    assert a.num_superblocks is not None
+    assert b.num_superblocks is None
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.ray_idx),
+                                  np.asarray(b.ray_idx))
+    np.testing.assert_allclose(np.asarray(a.t_mid), np.asarray(b.t_mid),
+                               rtol=0, atol=0)
+    assert np.asarray(a.coarse_complete).all()
+    assert np.asarray(b.coarse_complete).all()
+
+
 @pytest.mark.slow
 def test_composite_precise_path_at_training_collapse_scale():
     """Regression pin for the round-2 training collapse: at a ~2M-sample
