@@ -106,6 +106,33 @@ def test_eval_target_both_and_invalid(tmp_path, dataset):
         tr.build_evaluator("val")
 
 
+def test_nonfinite_loss_streak_semantics(tmp_path, dataset):
+    """Isolated non-finite losses must not terminate training (the
+    optimizer skips them via apply_if_finite); only a sustained streak
+    raises. A finite step resets the streak."""
+    config = tiny_config(dataset)
+    config.trainer.max_epochs = 1
+    config.trainer.limit_train_batches = 1
+    tr = Trainer(config, str(tmp_path / "log"), batch_capacity=32,
+                 sample_budget=2048)
+
+    def metrics(loss):
+        return {"loss": loss, "mean_num_samples_per_ray": 4.0}
+
+    # 24 consecutive non-finite: tolerated
+    for step in range(24):
+        tr._consume_metrics(step, metrics(float("nan")))
+    assert tr._nonfinite_streak == 24
+    # a finite step resets
+    tr._consume_metrics(24, metrics(0.5))
+    assert tr._nonfinite_streak == 0
+    # the 25th consecutive raises
+    for step in range(24):
+        tr._consume_metrics(25 + step, metrics(float("nan")))
+    with pytest.raises(FloatingPointError):
+        tr._consume_metrics(49, metrics(float("inf")))
+
+
 def test_prune_checkpoints_monitor_semantics(tmp_path):
     """config.checkpoint with `monitor` set keeps the save_top_k BEST
     scored checkpoints (mode min/max) plus the latest epoch for resume,
